@@ -1,0 +1,375 @@
+"""The vectorized Gibbs engine — the hot kernel of the framework.
+
+TPU-first reformulation of the reference's per-cluster Gibbs sampler
+(VariantClusterGenotyper.cpp:597-785, InferenceEngine.cpp:278-333):
+
+  * The reference scores each diplotype by summing scalar table lookups over
+    the subsampled k-mers, memoised per (diplotype, chain)
+    (calcDiplotypeLogProb, VariantClusterGenotyper.cpp:619-641). Here the full
+    [samples, outcomes] log-likelihood matrix is precomputed ONCE per chain as
+    a sequence of MXU matmuls over multiplicity classes, so Gibbs iterations
+    reduce to a categorical draw + a Dirichlet/spike-slab frequency resample —
+    O(S*O + H) per iteration instead of O(H^2 * K).
+
+  * The outcome space unifies the reference's three ploidy branches
+    (sampleDiplotype, VariantClusterGenotyper.cpp:707-755):
+      outcomes = all ordered pairs (i<=j) of H haplotypes   (diploid block)
+              ++ all single haplotypes                      (haploid block)
+              ++ one null outcome                           (null-ploidy)
+    using a sentinel haplotype H with zero multiplicities for the missing
+    slot. Invalid outcomes are masked to -inf per sample ploidy.
+
+  * Noise-rate Gibbs coupling exploits the Poisson exponential family: the
+    noise contribution to every outcome's log-likelihood is
+        A*log(rate) - B*rate - C0
+    with per-outcome constants A (sum of zero-multiplicity k-mer counts),
+    B (their number) and C0 (their lgamma terms). A and B gathered at the
+    sampled outcome are exactly the noise sufficient statistics the reference
+    accumulates in CountAllocation (getNoiseCounts,
+    VariantClusterGenotyper.cpp:757-779), so the joint noise update is a psum
+    + gamma draw with no per-iteration k-mer work.
+
+  * Chains are batched with vmap (the reference runs them sequentially per
+    thread, InferenceEngine.cpp:292-306); counter-based PRNG keys folded from
+    (cluster_id, chain) make results independent of bucketing and device
+    count, replacing the reference's seed arithmetic (InferenceEngine.cpp:294).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    GIBBS_BURN_IN,
+    GIBBS_SAMPLES,
+    KMER_SUBSAMPLING_RATE,
+    NUM_GIBBS_CHAINS,
+    PLOIDY_DIPLOID,
+    PLOIDY_HAPLOID,
+    PLOIDY_NULL,
+)
+from ..ops.sampling import NEG_INF, log_categorical, sample_frequencies
+from .buckets import ClusterBucket
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class OutcomeSpace:
+    """Static outcome enumeration for a bucket's haplotype capacity H.
+
+    oa/ob index into H+1 where index H is the missing-haplotype sentinel.
+    Layout: [diploid pairs (i<=j) | haploid singles | null].
+    """
+
+    num_haplotypes: int
+    oa: np.ndarray        # [O] int32
+    ob: np.ndarray        # [O] int32
+    het_bonus: np.ndarray  # [O] f32: log(2) on heterozygous pairs
+    ploidy_mask: np.ndarray  # [3, O] bool: valid outcomes per ploidy level
+
+    @property
+    def num_outcomes(self):
+        return self.oa.shape[0]
+
+    @property
+    def num_pairs(self):
+        h = self.num_haplotypes
+        return h * (h + 1) // 2
+
+
+@functools.lru_cache(maxsize=None)
+def make_outcome_space(num_haplotypes: int) -> OutcomeSpace:
+    h = num_haplotypes
+    ii, jj = np.triu_indices(h)
+    oa = np.concatenate([ii, np.arange(h), [h]]).astype(np.int32)
+    ob = np.concatenate([jj, np.full(h, h), [h]]).astype(np.int32)
+    num_pairs = ii.shape[0]
+    o = oa.shape[0]
+
+    het = np.zeros(o, dtype=np.float32)
+    het[:num_pairs] = np.where(ii != jj, np.log(2.0), 0.0)
+
+    mask = np.zeros((3, o), dtype=bool)
+    mask[PLOIDY_DIPLOID, :num_pairs] = True
+    mask[PLOIDY_HAPLOID, num_pairs : num_pairs + h] = True
+    mask[PLOIDY_NULL, o - 1] = True
+    return OutcomeSpace(h, oa, ob, het, mask)
+
+
+def subsample_masks(key, kmer_valid, num_chains, rate=KMER_SUBSAMPLING_RATE):
+    """Per-chain Bernoulli k-mer subsets: [C, chains, K] bool.
+
+    Mirrors the Bernoulli part of sampleKmerSubset
+    (VariantClusterHaplotypes.cpp:110-157). The per-(haplotype, variant)
+    500-kmer cap only binds for clusters with >5000 kmers per variant; those
+    are handled by the host compiler capping K per bucket. TODO(cap): exact
+    shuffled-order cap for giant clusters.
+    """
+    c, k = kmer_valid.shape
+    u = jax.random.uniform(key, (c, num_chains, k))
+    return (u < rate) & kmer_valid[:, None, :]
+
+
+def _diplotype_multiplicities(bucket: ClusterBucket, outcomes: OutcomeSpace):
+    """[C, K, O] uint8: per-outcome diplotype multiplicity (no intercluster).
+
+    getDiplotypeKmerMultiplicity (VariantClusterHaplotypes.cpp:45-60) with the
+    sentinel column H fixed at zero.
+    """
+    c, k, h = bucket.mult.shape
+    me = jnp.concatenate(
+        [bucket.mult, jnp.zeros((c, k, 1), dtype=bucket.mult.dtype)], axis=2
+    )
+    oa = jnp.asarray(outcomes.oa)
+    ob = jnp.asarray(outcomes.ob)
+    return me[:, :, oa] + me[:, :, ob]
+
+
+def compute_log_likelihoods(
+    bucket: ClusterBucket,
+    outcomes: OutcomeSpace,
+    tables,
+    w,
+    max_total_mult: int,
+    include_noise_row: bool = True,
+):
+    """Precompute LL[C, chains, S, O]: summed per-kmer count log-probs.
+
+    LL[c,ch,s,o] = sum_k w[c,ch,k] * T_s[min(dip_mult[c,k,o] + inter[c,k,s], Mmax),
+                                        counts[c,k,s]]
+    implemented as a fori_loop over multiplicity classes m', each step doing a
+    batched [chains*S, K] x [K, O] matmul against the indicator of
+    dip_mult == m' — MXU work instead of per-kmer gathers (the TPU analogue of
+    the reference's table-lookup loop, calcDiplotypeLogProb).
+
+    Args:
+      tables: [S, M+1, 256] combined log-pmf tables (row 0 = noise).
+      w: [C, chains, K] float/bool subsample masks.
+      max_total_mult: static clamp for multiplicity rows (>= bucket max of
+        dip_mult + inter); larger multiplicities clamp to this row.
+      include_noise_row: if False the m'=0 class contributes 0 (its noise
+        part is added separately per iteration in joint-noise mode).
+    Returns LL with the null-outcome column zeroed (the reference scores the
+    null outcome as log-prob 0, VariantClusterGenotyper.cpp:745).
+    """
+    c, k, _ = bucket.mult.shape
+    s = bucket.counts.shape[2]
+    o = outcomes.num_outcomes
+    num_chains = w.shape[1]
+    mmax = min(max_total_mult, tables.shape[1] - 1)
+
+    # P[c,s,m,k] = tables[s, m, counts[c,k,s]] for m = 0..mmax
+    counts_sk = jnp.transpose(bucket.counts, (2, 0, 1))  # [S, C, K]
+    t = tables[:, : mmax + 1, :]  # [S, M, 256]
+    p = jax.vmap(lambda ts, cs: jnp.take(ts, cs, axis=1))(t, counts_sk)
+    # p: [S, M, C, K] -> [C, S, M, K]
+    p = jnp.transpose(p, (2, 0, 1, 3)).astype(jnp.float32)
+
+    # Q[c,s,m',k] = P[c,s,min(m' + inter[c,k,s], mmax), k]
+    inter = jnp.transpose(bucket.inter_mult, (0, 2, 1)).astype(jnp.int32)  # [C,S,K]
+    mprime = jnp.arange(mmax + 1, dtype=jnp.int32)
+    q_idx = jnp.minimum(mprime[None, None, :, None] + inter[:, :, None, :], mmax)
+    q = jnp.take_along_axis(p, q_idx, axis=2)  # [C, S, M', K]
+
+    dip_mult = _diplotype_multiplicities(bucket, outcomes).astype(jnp.int32)
+    wf = w.astype(jnp.float32)
+
+    m_start = 0 if include_noise_row else 1
+
+    def body(m, ll):
+        e = (dip_mult == m).astype(jnp.float32)  # [C, K, O]
+        r = wf[:, :, None, :] * q[:, None, :, m, :]  # [C, ch, S, K]
+        contrib = jnp.einsum(
+            "cxk,cko->cxo",
+            r.reshape(c, num_chains * s, k),
+            e,
+            preferred_element_type=jnp.float32,
+        )
+        return ll + contrib.reshape(c, num_chains, s, o)
+
+    ll = jax.lax.fori_loop(
+        m_start, mmax + 1, body, jnp.zeros((c, num_chains, s, o), jnp.float32)
+    )
+    # Clamped multiplicity classes > mmax all share row mmax: fold them in.
+    e_over = (dip_mult > mmax).astype(jnp.float32)
+    r = wf[:, :, None, :] * q[:, None, :, mmax, :]
+    over = jnp.einsum(
+        "cxk,cko->cxo", r.reshape(c, num_chains * s, k), e_over,
+        preferred_element_type=jnp.float32,
+    ).reshape(c, num_chains, s, o)
+    ll = ll + over
+
+    return ll.at[..., -1].set(0.0)
+
+
+def compute_noise_terms(bucket: ClusterBucket, outcomes: OutcomeSpace, w):
+    """Per-outcome noise sufficient-statistic constants A, B, C0: [C, ch, S, O].
+
+    A = sum_k w * [total mult == 0] * count      (count_sum)
+    B = sum_k w * [total mult == 0]              (num_observations)
+    C0 = sum_k w * [total mult == 0] * lgamma(count + 1)
+
+    A and B at the sampled outcome are exactly the reference's noise
+    sufficient statistics (getNoiseCounts, VariantClusterGenotyper.cpp:757-779
+    + calcCountSuffStats, CountDistribution.cpp:188-200). The noise part of
+    the log-likelihood is A*log(rate) - B*rate - C0 (poissonLogProb,
+    CountDistribution.cpp:349-352). Note the null outcome's A/B are real (the
+    reference collects noise counts for null-ploidy samples too) while its
+    likelihood contribution is masked by the caller.
+    """
+    c, k, _ = bucket.mult.shape
+    s = bucket.counts.shape[2]
+    o = outcomes.num_outcomes
+    num_chains = w.shape[1]
+
+    dip_zero = _diplotype_multiplicities(bucket, outcomes) == 0  # [C, K, O]
+    inter_zero = bucket.inter_mult == 0  # [C, K, S]
+    wf = w.astype(jnp.float32)
+
+    counts_f = bucket.counts.astype(jnp.float32)
+    lg = jax.lax.lgamma(counts_f + 1.0)
+
+    def per_sample(vals):
+        # vals: [C, K, S] -> [C, ch, S, O]
+        z = inter_zero.astype(jnp.float32)  # [C,K,S]
+        r = wf[:, :, None, :] * (vals * z).transpose(0, 2, 1)[:, None, :, :]
+        return jnp.einsum(
+            "cxk,cko->cxo",
+            r.reshape(c, num_chains * s, k),
+            dip_zero.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).reshape(c, num_chains, s, o)
+
+    a = per_sample(counts_f)
+    b = per_sample(jnp.ones_like(counts_f))
+    c0 = per_sample(lg)
+    return a, b, c0
+
+
+def _sample_outcomes(key, logits):
+    s = logits.shape[0]
+    keys = jax.random.split(key, s)
+    return jax.vmap(log_categorical)(keys, logits)
+
+
+def _gibbs_iteration(key, freqs, ll, ploidy, hap_valid, sparsity, use_sparse, osp):
+    """Cleaner single-(cluster,chain) iteration used by the scans below."""
+    h = freqs.shape[0]
+    oa, ob, het_bonus, ploidy_mask = osp
+
+    k_cat, k_freq = jax.random.split(key)
+
+    logf = jnp.where(freqs > 0, jnp.log(jnp.maximum(freqs, 1e-30)), NEG_INF)
+    logf_ext = jnp.concatenate([logf, jnp.zeros((1,), logf.dtype)])
+    prior = logf_ext[oa] + logf_ext[ob] + het_bonus
+
+    valid = ploidy_mask[ploidy]
+    logits = jnp.where(valid, prior[None, :] + ll, NEG_INF)
+    o_sel = _sample_outcomes(k_cat, logits)
+
+    both = jnp.concatenate([oa[o_sel], ob[o_sel]])
+    hap_counts = jnp.zeros(h + 1, jnp.int32).at[both].add(1)[:h]
+    n_total = jnp.sum(hap_counts)
+
+    new_freqs = sample_frequencies(k_freq, hap_counts, hap_valid, sparsity, use_sparse)
+    freqs = jnp.where(n_total > 0, new_freqs, freqs)
+    return freqs, o_sel
+
+
+@dataclasses.dataclass(frozen=True)
+class GibbsConfig:
+    num_chains: int = NUM_GIBBS_CHAINS
+    burn_in: int = GIBBS_BURN_IN
+    num_samples: int = GIBBS_SAMPLES
+    kmer_subsampling_rate: float = KMER_SUBSAMPLING_RATE
+    max_total_mult: int = 32
+
+
+def _chain_keys(base_key, cluster_ids, num_chains):
+    """Counter-based per-(cluster, chain) keys: fold_in(cluster_id) then chain.
+
+    Replaces `prng_seed + (group_idx+1)*(chain_idx+1)` (InferenceEngine.cpp:294)
+    with collision-free fold_in chains; independent of bucketing/devices.
+    """
+    def per_cluster(cid):
+        ck = jax.random.fold_in(base_key, cid.astype(jnp.uint32))
+        return jax.vmap(lambda i: jax.random.fold_in(ck, i))(
+            jnp.arange(num_chains, dtype=jnp.uint32)
+        )
+
+    return jax.vmap(per_cluster)(cluster_ids)  # [C, chains, 2]
+
+
+@functools.partial(jax.jit, static_argnames=("outcomes", "cfg"))
+def genotype_bucket(base_key, bucket: ClusterBucket, tables, outcomes: OutcomeSpace,
+                    cfg: GibbsConfig):
+    """Frozen-noise genotyping of one bucket (estimateGenotypes mode,
+    InferenceEngine.cpp:278-333): all chains in parallel, noise rates frozen
+    inside `tables`.
+
+    Returns:
+      tally: [C, chains, S, O] int32 post-burn-in outcome tallies
+      w: [C, chains, K] bool per-chain kmer subsets (for the stats pass)
+    """
+    c = bucket.num_clusters
+    h = bucket.num_haplotypes
+    s = bucket.num_samples
+    o = outcomes.num_outcomes
+    num_iters = cfg.burn_in + cfg.num_samples
+
+    k_sub, k_chain = jax.random.split(base_key)
+    w = subsample_masks(
+        k_sub, bucket.kmer_valid, cfg.num_chains, cfg.kmer_subsampling_rate
+    )
+
+    ll = compute_log_likelihoods(
+        bucket, outcomes, tables, w, cfg.max_total_mult, include_noise_row=True
+    )
+
+    osp = (
+        jnp.asarray(outcomes.oa),
+        jnp.asarray(outcomes.ob),
+        jnp.asarray(outcomes.het_bonus),
+        jnp.asarray(outcomes.ploidy_mask),
+    )
+
+    chain_keys = _chain_keys(k_chain, bucket.cluster_id, cfg.num_chains)
+
+    # Per-chain initial frequencies: uniform over all real haplotypes — the
+    # reference resets (not initialises) per chain (VariantClusterGroup.cpp:184,
+    # FrequencyDistribution.cpp:47-52).
+    hv = bucket.hap_valid
+    nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
+    freqs0 = jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)  # [C, H]
+    freqs0 = jnp.broadcast_to(freqs0[:, None, :], (c, cfg.num_chains, h))
+
+    def step(carry, t):
+        freqs, tally = carry
+
+        def per_cc(ck, f, llcc, ploidy, hvc, sp, usp):
+            key = jax.random.fold_in(ck, t.astype(jnp.uint32))
+            return _gibbs_iteration(key, f, llcc, ploidy, hvc, sp, usp, osp)
+
+        new_freqs, o_sel = jax.vmap(  # over clusters
+            jax.vmap(per_cc, in_axes=(0, 0, 0, None, None, None, None)),
+            in_axes=(0, 0, 0, 0, 0, 0, 0),
+        )(chain_keys, freqs, ll, bucket.ploidy, hv, bucket.sparsity,
+          bucket.use_sparse)
+
+        collect = (t >= cfg.burn_in).astype(jnp.int32)
+        onehot = (
+            jnp.arange(o, dtype=jnp.int32)[None, None, None, :] == o_sel[..., None]
+        ).astype(jnp.int32)
+        tally = tally + collect * onehot
+        return (new_freqs, tally), None
+
+    tally0 = jnp.zeros((c, cfg.num_chains, s, o), jnp.int32)
+    (_, tally), _ = jax.lax.scan(
+        step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32)
+    )
+    return tally, w
