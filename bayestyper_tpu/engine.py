@@ -1,0 +1,687 @@
+"""Pipeline engine: the `cluster` and `genotype` phases.
+
+Orchestrates the full reference pipeline (main.cpp:80-661 call stacks, SURVEY
+§3.1-3.2) with the TPU-era split: irregular host work (VCF parse, clustering,
+path enumeration, k-mer table assembly) in vectorised numpy; the Gibbs
+sampler and posterior statistics as jit'd bucket programs on device.
+
+Cluster phase (bayesTyper cluster, main.cpp:196-353):
+  parse + normalise + cluster variants -> compile clusters (bloom-scored
+  paths, k-mer matrices) -> multigroup/decoy exclusion -> intercluster
+  multiplicities -> parameter k-mer sampling -> unit artifact on disk.
+
+Genotype phase (bayesTyper genotype, main.cpp:360-647):
+  load unit -> per-sample KMC counts for member k-mers (sorted-lane binary
+  search replacing the mutex-striped HybridHash) -> NB fit from parameter
+  k-mers -> noise estimation chains -> bucketed Gibbs genotyping -> VCF.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+import time
+from collections import defaultdict
+
+import numpy as np
+
+from .constants import (
+    GIBBS_BURN_IN,
+    GIBBS_SAMPLES,
+    KMER_SIZE,
+    KMER_SUBSAMPLING_RATE,
+    MAX_SAMPLE_HAPLOTYPES,
+    MIN_GENOTYPE_POSTERIOR,
+    MIN_NUMBER_OF_KMERS,
+    MISSING,
+    NOISE_ESTIMATION_VARIANTS,
+    NOISE_RATE_PRIOR_SCALE,
+    NOISE_RATE_PRIOR_SHAPE,
+    NUM_GIBBS_CHAINS,
+    GENDER_FEMALE,
+)
+from .graph.clustering import cluster_variants, intercluster_regions
+from .graph.compiler import CompiledCluster, compile_cluster
+from .graph.variants import normalize_variant
+from .io.fasta import Genome
+from .io.kmc import KmcReader
+from .io.samples import ChromosomePloidy
+from .io.vcf import VcfReader
+from .model.count_model import fit_genomic_nb, NegativeBinomialParams
+from .ops.kmers import encode_bases, kmer_lanes
+from .writer import GenotypeVcfWriter, VariantGenotypeRecord
+
+
+def _log(msg):
+    print(f"[{time.strftime('%d/%m/%Y %H:%M:%S')}] {msg}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# sorted lane-pair tables (host analogue of the reference's HybridHash:
+# sorted leaves + binary search, HybridHash.hpp/LinearMap.tpp)
+# ---------------------------------------------------------------------------
+
+class LaneTable:
+    """Sorted (hi, lo) lane pairs with vectorised lookup."""
+
+    def __init__(self, hi, lo):
+        order = np.lexsort((lo, hi))
+        self.hi = np.ascontiguousarray(hi[order])
+        self.lo = np.ascontiguousarray(lo[order])
+
+    def __len__(self):
+        return len(self.hi)
+
+    @classmethod
+    def from_unsorted_unique(cls, hi, lo):
+        t = cls(hi, lo)
+        if len(t.hi):
+            keep = np.ones(len(t.hi), bool)
+            keep[1:] = (t.hi[1:] != t.hi[:-1]) | (t.lo[1:] != t.lo[:-1])
+            t.hi, t.lo = t.hi[keep], t.lo[keep]
+        return t
+
+    def lookup(self, hi, lo):
+        """Index of each query in the table, -1 if absent."""
+        if len(self.hi) == 0 or len(hi) == 0:
+            return np.full(len(hi), -1, dtype=np.int64)
+        out = np.searchsorted(self.hi, hi, side="left").astype(np.int64)
+        n = len(self.hi)
+        for _ in range(64):
+            cur = np.minimum(out, n - 1)
+            mism = (out < n) & (self.hi[cur] == hi) & (self.lo[cur] != lo)
+            if not mism.any():
+                break
+            out[mism] += 1
+        cur = np.minimum(out, n - 1)
+        found = (out < n) & (self.hi[cur] == hi) & (self.lo[cur] == lo)
+        return np.where(found, out, -1)
+
+    def contains(self, hi, lo):
+        return self.lookup(hi, lo) >= 0
+
+
+# ---------------------------------------------------------------------------
+# cluster phase
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class InferenceUnitData:
+    """Serializable output of the cluster phase (the reference's
+    variant_clusters.bin + _cluster_data analogue, main.cpp:266-294)."""
+
+    kmer_size: int
+    compiled: list                    # CompiledCluster (member-kmer filtered)
+    regions: list                     # intercluster regions
+    param_hi: np.ndarray              # parameter kmers
+    param_lo: np.ndarray
+    param_mult_female: np.ndarray     # intercluster multiplicity per gender
+    param_mult_male: np.ndarray
+    exclusion_stats: dict
+
+    def save(self, path: str):
+        with open(path, "wb") as fh:
+            pickle.dump(self, fh, protocol=5)
+
+    @classmethod
+    def load(cls, path: str):
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+
+
+def _scan_genome_kmers(genome, regions, kmer_size, chunk=4_000_000):
+    """Yield (chrom, hi, lo) canonical lanes for region k-mers, chunked."""
+    for chrom, start, end in regions:
+        seq = genome[chrom]
+        pos = start
+        while pos < end:
+            stop = min(pos + chunk, end)
+            if stop - pos < kmer_size:
+                break
+            codes, valid = encode_bases(seq[pos : stop])
+            hi, lo, ok = kmer_lanes(codes, valid, kmer_size)
+            yield chrom, hi[ok], lo[ok]
+            pos = stop - (kmer_size - 1)
+
+
+def run_cluster_phase(
+    genome: Genome,
+    samples,
+    vcf_path: str,
+    ploidy: ChromosomePloidy,
+    sample_blooms=None,
+    kmer_size: int = KMER_SIZE,
+    max_sample_haplotypes: int = MAX_SAMPLE_HAPLOTYPES,
+    max_parameter_kmers: int = 1_000_000,
+    rng_seed: int = 1,
+) -> InferenceUnitData:
+    rng = np.random.default_rng(rng_seed)
+
+    # 1. parse + normalise + cluster (VariantFileParser.cpp:185-1042)
+    _log(f"Parsing variants from {vcf_path}")
+    per_chrom = defaultdict(list)
+    stats = defaultdict(int)
+    reader = VcfReader(vcf_path, parse_samples=False)
+    for vv in reader:
+        nv, reasons = normalize_variant(vv, genome)
+        for r in reasons.values():
+            stats[r.value] += 1
+        if nv is not None:
+            per_chrom[nv.chrom].append(nv)
+            stats["parsed"] += 1
+
+    clusters_by_chrom = {}
+    all_clusters = []
+    for chrom, variants in per_chrom.items():
+        cls = cluster_variants(variants, kmer_size)
+        clusters_by_chrom[chrom] = cls
+        all_clusters.extend(cls)
+    for i, cl in enumerate(all_clusters):
+        cl.cluster_id = i
+    _log(
+        f"Parsed {stats['parsed']} variants into {len(all_clusters)} clusters "
+        f"(excluded: { {k: v for k, v in stats.items() if k != 'parsed'} })"
+    )
+
+    # 2. compile clusters: paths + kmer matrices
+    compiled = []
+    for cl in all_clusters:
+        compiled.append(
+            compile_cluster(
+                cl, genome[cl.chrom], kmer_size, sample_blooms,
+                max_sample_haplotypes,
+            )
+        )
+    _log(f"Compiled {len(compiled)} cluster graphs")
+
+    # 3. multigroup exclusion: kmers whose paths span >1 cluster group
+    # (countPathMultigroupKmers, KmerCounter.cpp:105-169) — exact here
+    counts_per_kmer = defaultdict(int)
+    if compiled:
+        all_hi = np.concatenate([c.kmer_hi for c in compiled])
+        all_lo = np.concatenate([c.kmer_lo for c in compiled])
+        order = np.lexsort((all_lo, all_hi))
+        sh, sl = all_hi[order], all_lo[order]
+        first = np.ones(len(sh), bool)
+        if len(sh):
+            first[1:] = (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])
+        starts = np.flatnonzero(first)
+        occ = np.diff(np.append(starts, len(sh)))
+        multi_mask = occ > 1
+        multigroup = LaneTable.from_unsorted_unique(
+            sh[starts][multi_mask], sl[starts][multi_mask]
+        )
+    else:
+        multigroup = LaneTable(np.zeros(0, np.uint64), np.zeros(0, np.uint64))
+    _log(f"Found {len(multigroup)} multigroup kmers")
+
+    # 4. intercluster regions + multiplicities + decoy occurrences + parameter
+    # kmer sampling (KmerCounter.cpp:171-386)
+    regions = intercluster_regions(genome, clusters_by_chrom, kmer_size)
+
+    # union of member kmers across clusters — only these need counts/mults
+    member_tables = {}
+    if compiled:
+        mem_hi = np.concatenate(
+            [c.kmer_hi[c.member.any(axis=(1, 2))] for c in compiled]
+        )
+        mem_lo = np.concatenate(
+            [c.kmer_lo[c.member.any(axis=(1, 2))] for c in compiled]
+        )
+        member_union = LaneTable.from_unsorted_unique(mem_hi, mem_lo)
+    else:
+        member_union = LaneTable(np.zeros(0, np.uint64), np.zeros(0, np.uint64))
+
+    inter_f = np.zeros(len(member_union), dtype=np.int32)
+    inter_m = np.zeros(len(member_union), dtype=np.int32)
+    decoy_hit = np.zeros(len(member_union), dtype=bool)
+
+    # parameter kmers: region kmers not in any cluster path; reservoir-free
+    # Bernoulli subsample with post-hoc multiplicity counting
+    param_chunks = []
+    all_path_union = LaneTable.from_unsorted_unique(
+        np.concatenate([c.kmer_hi for c in compiled]) if compiled else np.zeros(0, np.uint64),
+        np.concatenate([c.kmer_lo for c in compiled]) if compiled else np.zeros(0, np.uint64),
+    )
+    total_region_len = sum(e - s for _, s, e in regions)
+    sample_rate = min(1.0, (3.0 * max_parameter_kmers) / max(total_region_len, 1))
+
+    for chrom, hi, lo in _scan_genome_kmers(genome, regions, kmer_size):
+        pf = ploidy.ploidy(chrom, GENDER_FEMALE)
+        pm = ploidy.ploidy(chrom, 1 - GENDER_FEMALE)
+        idx = member_union.lookup(hi, lo)
+        hit = idx >= 0
+        if genome.is_decoy(chrom):
+            decoy_hit[idx[hit]] = True
+        else:
+            np.add.at(inter_f, idx[hit], pf)
+            np.add.at(inter_m, idx[hit], pm)
+        # parameter candidates: not on any cluster path (decoys always kept:
+        # KmerCounter.cpp:171-250 keeps decoy kmers unconditionally)
+        if genome.is_decoy(chrom):
+            continue
+        cand = ~all_path_union.contains(hi, lo)
+        if sample_rate < 1.0:
+            cand &= rng.random(len(hi)) < sample_rate
+        param_chunks.append((hi[cand], lo[cand], pf, pm))
+
+    # parameter kmer multiplicities: occurrences within the sampled set are
+    # rare duplicates; count via sort-unique with ploidy weights
+    if param_chunks:
+        p_hi = np.concatenate([c[0] for c in param_chunks])
+        p_lo = np.concatenate([c[1] for c in param_chunks])
+        p_f = np.concatenate(
+            [np.full(len(c[0]), c[2], np.int32) for c in param_chunks]
+        )
+        p_m = np.concatenate(
+            [np.full(len(c[0]), c[3], np.int32) for c in param_chunks]
+        )
+        order = np.lexsort((p_lo, p_hi))
+        p_hi, p_lo, p_f, p_m = p_hi[order], p_lo[order], p_f[order], p_m[order]
+        first = np.ones(len(p_hi), bool)
+        if len(p_hi):
+            first[1:] = (p_hi[1:] != p_hi[:-1]) | (p_lo[1:] != p_lo[:-1])
+        gid = np.cumsum(first) - 1
+        n_unique = int(first.sum())
+        mult_f = np.zeros(n_unique, np.int32)
+        mult_m = np.zeros(n_unique, np.int32)
+        np.add.at(mult_f, gid, p_f)
+        np.add.at(mult_m, gid, p_m)
+        u_hi, u_lo = p_hi[first], p_lo[first]
+        if n_unique > max_parameter_kmers:
+            sel = rng.choice(n_unique, max_parameter_kmers, replace=False)
+            sel.sort()
+            u_hi, u_lo = u_hi[sel], u_lo[sel]
+            mult_f, mult_m = mult_f[sel], mult_m[sel]
+    else:
+        u_hi = u_lo = np.zeros(0, np.uint64)
+        mult_f = mult_m = np.zeros(0, np.int32)
+    _log(f"Sampled {len(u_hi)} parameter kmers from {total_region_len} bp of "
+         f"intercluster sequence")
+
+    # 5. finalise clusters: keep member kmers that are not excluded
+    # (isExcluded = decoy | max-mult | multigroup, KmerCounts.cpp:93-96)
+    final = []
+    for c in compiled:
+        member_any = c.member.any(axis=(1, 2))
+        ex_multi = multigroup.contains(c.kmer_hi, c.kmer_lo)
+        midx = member_union.lookup(c.kmer_hi, c.kmer_lo)
+        safe = np.maximum(midx, 0)
+        ex_decoy = np.where(midx >= 0, decoy_hit[safe], False)
+        keep = member_any & ~ex_multi & ~ex_decoy
+        inter_f_c = np.where(midx >= 0, inter_f[safe], 0)[keep]
+        inter_m_c = np.where(midx >= 0, inter_m[safe], 0)[keep]
+        final.append(
+            FinalizedCluster(
+                cluster_id=c.cluster_id,
+                chrom=c.chrom,
+                variants=c.variants,
+                hap_allele=c.hap_allele,
+                kmer_hi=c.kmer_hi[keep],
+                kmer_lo=c.kmer_lo[keep],
+                mult=c.mult[keep],
+                member=c.member[keep],
+                inter_mult_female=np.minimum(inter_f_c, 255).astype(np.uint8),
+                inter_mult_male=np.minimum(inter_m_c, 255).astype(np.uint8),
+                non_covered_alleles=c.non_covered_alleles,
+                num_excluded=int((member_any & ~keep).sum()),
+            )
+        )
+
+    return InferenceUnitData(
+        kmer_size=kmer_size,
+        compiled=final,
+        regions=regions,
+        param_hi=u_hi,
+        param_lo=u_lo,
+        param_mult_female=mult_f,
+        param_mult_male=mult_m,
+        exclusion_stats=dict(stats),
+    )
+
+
+@dataclasses.dataclass
+class FinalizedCluster:
+    cluster_id: int
+    chrom: str
+    variants: list
+    hap_allele: np.ndarray
+    kmer_hi: np.ndarray
+    kmer_lo: np.ndarray
+    mult: np.ndarray
+    member: np.ndarray
+    inter_mult_female: np.ndarray
+    inter_mult_male: np.ndarray
+    non_covered_alleles: list
+    num_excluded: int
+
+
+# ---------------------------------------------------------------------------
+# genotype phase
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GenotypeOptions:
+    num_chains: int = NUM_GIBBS_CHAINS
+    burn_in: int = GIBBS_BURN_IN
+    num_samples: int = GIBBS_SAMPLES
+    kmer_subsampling_rate: float = KMER_SUBSAMPLING_RATE
+    min_genotype_posterior: float = MIN_GENOTYPE_POSTERIOR
+    min_number_of_kmers: float = MIN_NUMBER_OF_KMERS
+    disable_observed_kmers: bool = False
+    noise_rate_prior: tuple = (NOISE_RATE_PRIOR_SHAPE, NOISE_RATE_PRIOR_SCALE)
+    noise_genotyping: bool = False
+    random_seed: int = 1
+    max_bucket_clusters: int = 512
+
+
+def gather_sample_counts(unit: InferenceUnitData, samples):
+    """Stream each sample's KMC table and collect counts for member +
+    parameter k-mers (parseSampleKmers, KmerCounter.cpp:388-524, without the
+    thread pipeline — one vectorised lookup per batch)."""
+    table = LaneTable.from_unsorted_unique(
+        np.concatenate([c.kmer_hi for c in unit.compiled] + [unit.param_hi]),
+        np.concatenate([c.kmer_lo for c in unit.compiled] + [unit.param_lo]),
+    )
+    counts = np.zeros((len(table), len(samples)), dtype=np.uint8)
+    for si, sample in enumerate(samples):
+        reader = KmcReader(sample.kmc_prefix)
+        n_hit = 0
+        for hi, lo, cnt in reader.batches():
+            idx = table.lookup(hi, lo)
+            hit = idx >= 0
+            counts[idx[hit], si] = np.minimum(cnt[hit], 255).astype(np.uint8)
+            n_hit += int(hit.sum())
+        reader.close()
+        _log(f"Sample {sample.name}: matched {n_hit} kmers "
+             f"({reader.info.total_kmers} in table)")
+    return table, counts
+
+
+def parameter_kmer_stats(unit, samples, table, counts):
+    """Per-sample parameter-kmer count stats binned by intercluster
+    multiplicity (calculateKmerStats, KmerHash.cpp:257-340)."""
+    idx = table.lookup(unit.param_hi, unit.param_lo)
+    assert (idx >= 0).all()
+    n_bins = 256
+    out = {
+        "count": np.zeros((len(samples), n_bins), np.int64),
+        "mean": np.zeros((len(samples), n_bins)),
+        "var": np.zeros((len(samples), n_bins)),
+    }
+    for si, sample in enumerate(samples):
+        mult = (
+            unit.param_mult_female
+            if sample.gender == GENDER_FEMALE
+            else unit.param_mult_male
+        )
+        mult = np.minimum(mult, n_bins - 1)
+        c = counts[idx, si].astype(np.float64)
+        for m in np.unique(mult):
+            sel = mult == m
+            vals = c[sel]
+            out["count"][si, m] = len(vals)
+            if len(vals):
+                out["mean"][si, m] = vals.mean()
+                out["var"][si, m] = vals.var(ddof=1) if len(vals) > 1 else 0.0
+    return out
+
+
+def _pow2_at_least(x, lo):
+    v = lo
+    while v < x:
+        v *= 2
+    return v
+
+
+def _size_class(fc: FinalizedCluster):
+    h = _pow2_at_least(fc.hap_allele.shape[0], 2)
+    k = _pow2_at_least(max(len(fc.kmer_hi), 1), 32)
+    v = _pow2_at_least(len(fc.variants), 1)
+    a = _pow2_at_least(max(x.num_alleles for x in fc.variants), 2)
+    return (h, k, v, a)
+
+
+def _cluster_to_dict(fc: FinalizedCluster, samples, ploidy_model, counts,
+                     table, rng):
+    """FinalizedCluster + counts -> the dict build_bucket consumes."""
+    from .model.buckets import greedy_minimum_cover
+
+    idx = table.lookup(fc.kmer_hi, fc.kmer_lo)
+    c = np.where(idx[:, None] >= 0, counts[np.maximum(idx, 0)], 0).astype(np.uint8)
+
+    s = len(samples)
+    inter = np.zeros((len(fc.kmer_hi), s), dtype=np.uint8)
+    for si, sample in enumerate(samples):
+        inter[:, si] = (
+            fc.inter_mult_female if sample.gender == GENDER_FEMALE
+            else fc.inter_mult_male
+        )
+
+    # "kmer has a hash entry" (ctor non_zero_kmer_counts,
+    # VariantClusterGenotyper.cpp:90-98): observed in reads or intercluster
+    nonzero = (c > 0).any(axis=1) | (inter > 0).any(axis=1)
+    cover = greedy_minimum_cover(fc.mult, nonzero, rng)
+
+    v = len(fc.variants)
+    h = fc.hap_allele.shape[0]
+    member = np.transpose(fc.member, (0, 1, 2))  # [K, V, H] already
+
+    return {
+        "mult": fc.mult,
+        "inter_mult": inter,
+        "counts": c,
+        "ploidy": ploidy_model.sample_ploidies(fc.chrom, samples),
+        "hap_allele": fc.hap_allele.astype(np.int16),  # [H, V]
+        "num_alleles": np.array(
+            [x.num_alleles for x in fc.variants], dtype=np.int16
+        ),
+        "member": member,
+        "cover": cover,
+        "cluster_id": fc.cluster_id,
+    }
+
+
+def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
+                   opts: GenotypeOptions):
+    """Noise rate estimation over single-cluster groups
+    (estimateNoise, InferenceEngine.cpp:135-276). Runs the modal size class
+    (covers the vast majority of variants; TODO(all-classes))."""
+    import jax
+    import jax.numpy as jnp
+    from .model.buckets import build_bucket
+    from .model.gibbs import GibbsConfig, make_outcome_space, noise_chain
+    from .ops.distributions import np_build_count_log_prob_tables
+
+    rng = np.random.default_rng(opts.random_seed)
+    by_class = defaultdict(list)
+    for fc in unit.compiled:
+        by_class[_size_class(fc)].append(fc)
+    if not by_class:
+        raise ValueError("no clusters to estimate noise from")
+    modal = max(by_class, key=lambda k: len(by_class[k]))
+    pool = by_class[modal]
+    # cap at the noise batch size (noise_variants_batch_size = 100000)
+    rng.shuffle(pool)
+    batch = pool[: max(1, NOISE_ESTIMATION_VARIANTS // max(1, len(pool[0].variants)))]
+    batch = batch[:NOISE_ESTIMATION_VARIANTS]
+
+    h, k, v, a = modal
+    c_pad = _pow2_at_least(len(batch), 1)
+    dicts = [
+        _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
+        for fc in batch
+    ]
+    bucket = build_bucket(dicts, (c_pad, k, h, v), len(samples)).device_arrays()
+
+    tables = jnp.asarray(
+        np_build_count_log_prob_tables(
+            nb_params.p, nb_params.size, np.full(len(samples), 1e-3), 255
+        )
+    )
+    outcomes = make_outcome_space(h)
+    max_tot = int(
+        min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in batch)
+            + max(1, max(int(fc.inter_mult_female.max(initial=0)) for fc in batch)))
+    )
+    cfg = GibbsConfig(
+        num_chains=1, burn_in=opts.burn_in, num_samples=opts.num_samples,
+        kmer_subsampling_rate=opts.kmer_subsampling_rate,
+        max_total_mult=_pow2_at_least(max_tot, 8),
+    )
+
+    shape, scale = opts.noise_rate_prior
+    key = jax.random.PRNGKey(opts.random_seed)
+    rate_sum = np.zeros(len(samples))
+    traces = []
+    for chain in range(opts.num_chains):
+        k_init = jax.random.fold_in(jax.random.fold_in(key, 77), chain)
+        init_rates = jax.random.gamma(
+            k_init, shape, (len(samples),)
+        ) * scale
+        rs, trace = noise_chain(
+            key, bucket, tables, init_rates, (shape, scale), outcomes, cfg,
+            chain_idx=chain,
+        )
+        rate_sum += np.asarray(rs)
+        traces.append(np.asarray(trace))
+    mean_rates = rate_sum / (opts.num_samples * opts.num_chains)
+    _log(f"Estimated noise rates: {mean_rates}")
+    return mean_rates, np.stack(traces)
+
+
+def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
+                  out_path: str, opts: GenotypeOptions | None = None,
+                  command_lines=()):
+    """Full genotype phase -> final VCF. Returns summary stats."""
+    import jax
+    import jax.numpy as jnp
+    from .model.buckets import build_bucket
+    from .model.count_model import fit_genomic_nb
+    from .model.gibbs import GibbsConfig, genotype_bucket, make_outcome_space
+    from .model.stats import FilterConfig, collect_bucket_stats
+    from .ops.distributions import np_build_count_log_prob_tables
+
+    opts = opts or GenotypeOptions()
+    rng = np.random.default_rng(opts.random_seed)
+
+    table, counts = gather_sample_counts(unit, samples)
+
+    pstats = parameter_kmer_stats(unit, samples, table, counts)
+    nb_params = fit_genomic_nb(pstats)
+    _log(f"NB fit: mean={nb_params.mean} var={nb_params.var} "
+         f"(modal multiplicity {nb_params.modal_multiplicity})")
+
+    noise_rates, _ = estimate_noise(
+        unit, samples, table, counts, ploidy_model, nb_params, opts
+    )
+
+    tables = jnp.asarray(
+        np_build_count_log_prob_tables(
+            nb_params.p, nb_params.size, noise_rates, 255
+        )
+    )
+
+    filters = FilterConfig.from_model(
+        nb_params.mean, opts.min_genotype_posterior, opts.min_number_of_kmers,
+        opts.disable_observed_kmers,
+    )
+
+    writer = GenotypeVcfWriter(
+        out_path, genome, [s.name for s in samples], command_lines
+    )
+
+    by_class = defaultdict(list)
+    for fc in unit.compiled:
+        by_class[_size_class(fc)].append(fc)
+
+    key = jax.random.PRNGKey(opts.random_seed)
+    num_genotyped = 0
+    for (h, k, v, a), fcs in sorted(by_class.items()):
+        outcomes = make_outcome_space(h)
+        max_tot = _pow2_at_least(
+            min(
+                255,
+                2 * max(int(fc.mult.max(initial=1)) for fc in fcs)
+                + max(int(fc.inter_mult_female.max(initial=0)) for fc in fcs)
+                + max(int(fc.inter_mult_male.max(initial=0)) for fc in fcs),
+            ),
+            8,
+        )
+        cfg = GibbsConfig(
+            num_chains=opts.num_chains, burn_in=opts.burn_in,
+            num_samples=opts.num_samples,
+            kmer_subsampling_rate=opts.kmer_subsampling_rate,
+            max_total_mult=max_tot,
+        )
+        for start in range(0, len(fcs), opts.max_bucket_clusters):
+            chunk = fcs[start : start + opts.max_bucket_clusters]
+            c_pad = _pow2_at_least(len(chunk), 1)
+            dicts = [
+                _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
+                for fc in chunk
+            ]
+            bucket = build_bucket(
+                dicts, (c_pad, k, h, v), len(samples)
+            ).device_arrays()
+            tally, w = genotype_bucket(key, bucket, tables, outcomes, cfg)
+            stats = collect_bucket_stats(
+                bucket, outcomes, tally, w, filters,
+                allele_capacity=a, mac_top_t=8,
+            )
+            _emit_records(writer, chunk, stats, samples, ploidy_model)
+            num_genotyped += sum(len(fc.variants) for fc in chunk)
+            _log(f"Genotyped {num_genotyped} variants")
+
+    n = writer.finalise()
+    _log(f"Wrote {n} variants to {out_path}")
+    return {
+        "num_variants": n,
+        "noise_rates": noise_rates,
+        "nb_mean": nb_params.mean,
+        "nb_var": nb_params.var,
+    }
+
+
+def _emit_records(writer, chunk, stats, samples, ploidy_model):
+    gpp = np.asarray(stats.gpp)
+    app = np.asarray(stats.app)
+    gq = np.asarray(stats.gq)
+    gt = np.asarray(stats.gt)
+    saf = np.asarray(stats.saf)
+    nak = np.asarray(stats.nak)
+    fak = np.asarray(stats.fak)
+    mac = np.asarray(stats.mac)
+
+    for ci, fc in enumerate(chunk):
+        start = min(x.pos for x in fc.variants)
+        end = max(x.end for x in fc.variants)
+        region = f"{fc.chrom}:{start + 1}-{end}"
+        ploidies = ploidy_model.sample_ploidies(fc.chrom, samples)
+        for vi, var in enumerate(fc.variants):
+            writer.add(
+                VariantGenotypeRecord(
+                    chrom=fc.chrom,
+                    pos=var.pos + 1,
+                    ids=var.ids,
+                    ref=var.ref,
+                    alts=var.alts,
+                    origins=var.origins,
+                    has_dependency=var.has_dependency,
+                    cluster_size=len(fc.variants),
+                    cluster_region=region,
+                    group_size=1,
+                    group_region=region,
+                    num_candidates=fc.hap_allele.shape[0],
+                    non_covered_alleles=fc.non_covered_alleles[vi],
+                    ploidies=ploidies,
+                    gt=gt[ci, :, vi],
+                    gq=gq[ci, :, vi],
+                    gpp=gpp[ci, :, vi],
+                    app=app[ci, :, vi],
+                    nak=nak[ci, :, vi],
+                    fak=fak[ci, :, vi],
+                    mac=mac[ci, :, vi],
+                    saf=saf[ci, :, vi],
+                )
+            )

@@ -1,0 +1,248 @@
+"""Cluster compiler: variant clusters -> haplotype paths -> dense k-mer
+tensors ready for bucketing.
+
+This is the reference's VariantClusterGraph re-targeted to emit tensors
+instead of serialized C++ object graphs:
+
+  * path enumeration with per-sample bloom-scored beam search replaces the
+    boost-graph DP (findSamplePaths/mergePaths/filterPaths,
+    VariantClusterGraph.cpp:389-724): paths are built variant-by-variant over
+    the cluster's reference span with k-1 flanks; when the combinatorial
+    space exceeds the beam, candidates are ranked per sample by the fraction
+    of their k-mers present in that sample's read bloom (the same score as
+    VariantClusterGraphPath.cpp:89-130) and the top max_sample_haplotypes
+    kept; the union over samples is deduplicated (addPathIndices,
+    VariantClusterGraph.cpp:726-798).
+  * k-mer accounting (countPathKmers/getHaplotypeCandidates,
+    VariantClusterGraph.cpp:800-846, 941-1135) becomes: canonical lane pairs
+    per path via the vectorised extractor, a union table, a [K, H] uint8
+    multiplicity matrix (capped at 127, :911-925), and a [K, V, H] member
+    tensor marking k-mers that cross a variant's span on a haplotype
+    (updateVariantPathIndices, :1137-1184).
+
+Variants overlapping a consumed span on a path get the cluster's missing
+allele when they carry one (`*`), else the path is constrained to their
+reference allele — the flattened stand-in for the reference's nested-cluster
+machinery (TODO(nested)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import (
+    KMER_SIZE,
+    MAX_HAPLOID_MULTIPLICITY,
+    MAX_SAMPLE_HAPLOTYPES,
+)
+from ..ops.kmers import encode_bases, kmer_lanes
+from .clustering import VariantCluster
+
+
+@dataclass
+class HaplotypePath:
+    allele_indices: list          # per variant: allele index (missing -> num_alleles-1)
+    seq: str                      # full path sequence incl. k-1 flanks
+    variant_spans: list           # per variant: (start, end) in path coords, or None
+
+
+@dataclass
+class CompiledCluster:
+    """Host-side compiled cluster (counts attached at genotype time)."""
+
+    cluster_id: int
+    chrom: str
+    variants: list                # NormalizedVariant
+    hap_allele: np.ndarray        # [H, V] int16
+    kmer_hi: np.ndarray           # [K] uint64 canonical lanes
+    kmer_lo: np.ndarray
+    mult: np.ndarray              # [K, H] uint8
+    member: np.ndarray            # [K, V, H] bool
+    non_covered_alleles: list = field(default_factory=list)  # per variant
+
+
+def enumerate_paths(cluster: VariantCluster, chrom_seq: bytes,
+                    kmer_size: int = KMER_SIZE,
+                    sample_blooms=None,
+                    max_sample_haplotypes: int = MAX_SAMPLE_HAPLOTYPES,
+                    beam_limit: int | None = None):
+    """Build candidate haplotype paths for one cluster.
+
+    sample_blooms: list of KmerBloomFilter (one per sample) used for beam
+    scoring when the allele product exceeds the beam; None = enumerate all up
+    to beam_limit and truncate deterministically.
+    """
+    variants = sorted(cluster.variants, key=lambda v: (v.pos, -len(v.ref)))
+    flank = kmer_size - 1
+    left = max(cluster.start - flank, 0)
+    right = min(cluster.end + flank, len(chrom_seq))
+
+    if beam_limit is None:
+        n_samples = len(sample_blooms) if sample_blooms else 1
+        beam_limit = max_sample_haplotypes * max(n_samples, 1) * 4
+
+    # partial paths: (allele_indices, seq_parts, cursor, spans)
+    # cursor = next reference position to consume
+    initial = ([], [chrom_seq[left:variants[0].pos].decode()], variants[0].pos, [])
+    beams = [initial]
+
+    for vi, v in enumerate(variants):
+        new_beams = []
+        for alleles, parts, cursor, spans in beams:
+            if v.pos < cursor:
+                # overlapped by an upstream allele already consumed past here:
+                # missing allele if the variant carries one, else ref-as-consumed
+                idx = v.num_alleles - 1 if v.has_dependency else 0
+                new_beams.append((alleles + [idx], parts, cursor, spans + [None]))
+                continue
+            gap = chrom_seq[cursor : v.pos].decode()
+            for a_idx in range(1 + len(v.alts)):
+                seq = v.ref if a_idx == 0 else v.alts[a_idx - 1]
+                pos_in_path = sum(len(p) for p in parts) + len(gap)
+                new_beams.append(
+                    (
+                        alleles + [a_idx],
+                        parts + [gap, seq],
+                        v.end,
+                        spans + [(pos_in_path, pos_in_path + len(seq))],
+                    )
+                )
+        beams = new_beams
+        if len(beams) > beam_limit:
+            beams = _prune_beams(
+                beams, sample_blooms, kmer_size, max_sample_haplotypes, beam_limit
+            )
+
+    paths = []
+    seen = set()
+    for alleles, parts, cursor, spans in beams:
+        tail = chrom_seq[cursor:right].decode()
+        key = tuple(alleles)
+        if key in seen:
+            continue
+        seen.add(key)
+        paths.append(
+            HaplotypePath(
+                allele_indices=list(alleles),
+                seq="".join(parts) + tail,
+                variant_spans=list(spans),
+            )
+        )
+    return paths
+
+
+def _bloom_score(seq: str, bloom, kmer_size: int) -> float:
+    """Fraction of the sequence's k-mers present in the bloom
+    (VariantClusterGraphPath.cpp:36-87 kmer_score)."""
+    codes, valid = encode_bases(seq.encode())
+    hi, lo, ok = kmer_lanes(codes, valid, kmer_size)
+    if not ok.any():
+        return 0.0
+    hits = bloom.contains(hi[ok], lo[ok])
+    return float(hits.mean())
+
+
+def _prune_beams(beams, sample_blooms, kmer_size, max_sample_haplotypes, beam_limit):
+    """Per-sample top-k by bloom score of the partial sequence, unioned
+    (two-phase filterPaths analogue, VariantClusterGraph.cpp:631-724)."""
+    if not sample_blooms:
+        return beams[:beam_limit]
+    seqs = ["".join(parts) for _, parts, _, _ in beams]
+    keep = set()
+    for bloom in sample_blooms:
+        scores = np.array([_bloom_score(s, bloom, kmer_size) for s in seqs])
+        top = np.argsort(-scores, kind="stable")[:max_sample_haplotypes]
+        keep.update(top.tolist())
+    kept = sorted(keep)
+    return [beams[i] for i in kept[:beam_limit]]
+
+
+def compile_cluster(cluster: VariantCluster, chrom_seq: bytes,
+                    kmer_size: int = KMER_SIZE,
+                    sample_blooms=None,
+                    max_sample_haplotypes: int = MAX_SAMPLE_HAPLOTYPES) -> CompiledCluster:
+    """Paths -> k-mer multiplicity matrix + member tensor."""
+    variants = sorted(cluster.variants, key=lambda v: (v.pos, -len(v.ref)))
+    paths = enumerate_paths(
+        cluster, chrom_seq, kmer_size, sample_blooms, max_sample_haplotypes
+    )
+    h = len(paths)
+    v = len(variants)
+    assert h > 0
+
+    hap_allele = np.zeros((h, v), dtype=np.int16)
+    per_path = []
+    for pi, p in enumerate(paths):
+        hap_allele[pi] = p.allele_indices
+        codes, valid = encode_bases(p.seq.encode())
+        hi, lo, ok = kmer_lanes(codes, valid, kmer_size)
+        per_path.append((hi, lo, ok, p.variant_spans))
+
+    # union of canonical kmers across paths
+    all_hi = np.concatenate([x[0][x[2]] for x in per_path]) if per_path else np.zeros(0, np.uint64)
+    all_lo = np.concatenate([x[1][x[2]] for x in per_path]) if per_path else np.zeros(0, np.uint64)
+    order = np.lexsort((all_lo, all_hi))
+    uh, ul = all_hi[order], all_lo[order]
+    if len(uh):
+        first = np.ones(len(uh), bool)
+        first[1:] = (uh[1:] != uh[:-1]) | (ul[1:] != ul[:-1])
+        uh, ul = uh[first], ul[first]
+    k = len(uh)
+
+    mult = np.zeros((k, h), dtype=np.uint8)
+    member = np.zeros((k, v, h), dtype=bool)
+    for pi, (hi, lo, ok, spans) in enumerate(per_path):
+        pos_ok = np.flatnonzero(ok)
+        if not len(pos_ok):
+            continue
+        khi, klo = hi[pos_ok], lo[pos_ok]
+        idx = _lookup(uh, ul, khi, klo)
+        occ = np.bincount(idx, minlength=k)
+        mult[:, pi] = np.clip(occ, 0, MAX_HAPLOID_MULTIPLICITY)
+        for vi, span in enumerate(spans):
+            if span is None:
+                continue
+            a, b = span
+            if a == b:  # pure deletion: the junction point
+                a, b = a - 1, b + 1
+            overlap = (pos_ok < b) & (pos_ok + kmer_size > a)
+            member[idx[overlap], vi, pi] = True
+
+    non_covered = []
+    for vi, var in enumerate(variants):
+        covered = set(hap_allele[:, vi].tolist())
+        if var.has_dependency:
+            covered.add(var.num_alleles - 1)
+        non_covered.append(
+            [a for a in range(var.num_alleles) if a not in covered]
+        )
+
+    return CompiledCluster(
+        cluster_id=cluster.cluster_id,
+        chrom=cluster.chrom,
+        variants=variants,
+        hap_allele=hap_allele,
+        kmer_hi=uh,
+        kmer_lo=ul,
+        mult=mult,
+        member=member,
+        non_covered_alleles=non_covered,
+    )
+
+
+def _lookup(sorted_hi, sorted_lo, hi, lo):
+    """Indices of (hi, lo) in the sorted lane table (all must be present)."""
+    # composite search: searchsorted on hi then advance within equal-hi runs
+    out = np.searchsorted(sorted_hi, hi, side="left")
+    n = len(sorted_hi)
+    for _ in range(64):
+        cur = np.minimum(out, n - 1)
+        mism = (out < n) & (sorted_hi[cur] == hi) & (sorted_lo[cur] != lo)
+        if not mism.any():
+            break
+        out[mism] += 1
+    cur = np.minimum(out, n - 1)
+    assert (sorted_hi[cur] == hi).all() and (sorted_lo[cur] == lo).all()
+    return out

@@ -373,3 +373,110 @@ def genotype_bucket(base_key, bucket: ClusterBucket, tables, outcomes: OutcomeSp
         step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32)
     )
     return tally, w
+
+
+@functools.partial(
+    jax.jit, static_argnames=("outcomes", "cfg", "chain_idx", "axis_name")
+)
+def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
+                noise_prior, outcomes: OutcomeSpace, cfg: GibbsConfig,
+                chain_idx: int, axis_name: str | None = None):
+    """One sequential noise-estimation chain over a bucket of single-cluster
+    groups (estimateNoise, InferenceEngine.cpp:135-276).
+
+    Every iteration all clusters draw diplotypes under the current global
+    noise rates, the zero-multiplicity sufficient statistics are reduced
+    (psum over `axis_name` when running under shard_map — replacing the
+    mutex-merged CountAllocation, InferenceEngine.cpp:96-98), and the rates
+    are resampled from the conjugate gamma posterior. The noise part of
+    every outcome's log-likelihood is the analytic A*log(r) - B*r - C0, so
+    no table rebuild happens inside the loop.
+
+    Args:
+      tables: [S, M+1, 256] genomic tables (row 0 unused here).
+      init_rates: [S] starting rates (drawn from the prior by the caller,
+        resetNoiseRates CountDistribution.cpp:163-171).
+      noise_prior: (shape, scale).
+    Returns:
+      rate_sum: [S] sum of post-burn-in rates (caller divides by
+        num_samples*num_chains across chains), and the full [iters+1, S]
+        rate trace for the `_noise_parameters.txt` dump.
+    """
+    c = bucket.num_clusters
+    h = bucket.num_haplotypes
+    s = bucket.num_samples
+    num_iters = cfg.burn_in + cfg.num_samples
+    prior_shape, prior_scale = noise_prior
+
+    k_sub, k_chain, k_noise = jax.random.split(
+        jax.random.fold_in(base_key, chain_idx), 3
+    )
+    w = subsample_masks(k_sub, bucket.kmer_valid, 1, cfg.kmer_subsampling_rate)
+
+    llg = compute_log_likelihoods(
+        bucket, outcomes, tables, w, cfg.max_total_mult, include_noise_row=False
+    )[:, 0]  # [C, S, O]
+    a, b, c0 = compute_noise_terms(bucket, outcomes, w)
+    a, b, c0 = a[:, 0], b[:, 0], c0[:, 0]  # [C, S, O]
+    # the null outcome contributes no likelihood (but its A/B still feed the
+    # noise statistics — getNoiseCounts runs for null-ploidy samples too)
+    ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
+
+    osp = (
+        jnp.asarray(outcomes.oa),
+        jnp.asarray(outcomes.ob),
+        jnp.asarray(outcomes.het_bonus),
+        jnp.asarray(outcomes.ploidy_mask),
+    )
+
+    cluster_keys = jax.vmap(
+        lambda cid: jax.random.fold_in(
+            jax.random.fold_in(k_chain, cid.astype(jnp.uint32)), 0
+        )
+    )(bucket.cluster_id)
+
+    hv = bucket.hap_valid
+    nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
+    freqs0 = jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)
+
+    cv = bucket.cluster_valid.astype(jnp.float32)
+
+    def step(carry, t):
+        freqs, rates = carry
+        log_r = jnp.log(jnp.maximum(rates, 1e-30))
+        ll = llg + (
+            a * log_r[None, :, None] - b * rates[None, :, None] - c0
+        ) * ll_mask
+
+        def per_cluster(ck, f, llc, ploidy, hvc, sp, usp):
+            key = jax.random.fold_in(ck, t.astype(jnp.uint32))
+            return _gibbs_iteration(key, f, llc, ploidy, hvc, sp, usp, osp)
+
+        new_freqs, o_sel = jax.vmap(per_cluster)(
+            cluster_keys, freqs, ll, bucket.ploidy, hv,
+            bucket.sparsity, bucket.use_sparse,
+        )
+
+        sel = o_sel  # [C, S]
+        a_sel = jnp.take_along_axis(a, sel[:, :, None], axis=2)[..., 0]
+        b_sel = jnp.take_along_axis(b, sel[:, :, None], axis=2)[..., 0]
+        count_sum = jnp.sum(a_sel * cv[:, None], axis=0)      # [S]
+        num_obs = jnp.sum(b_sel * cv[:, None], axis=0)
+        if axis_name is not None:
+            count_sum = jax.lax.psum(count_sum, axis_name)
+            num_obs = jax.lax.psum(num_obs, axis_name)
+
+        k_it = jax.random.fold_in(k_noise, t.astype(jnp.uint32))
+        # conjugate gamma update (sampleNoiseParameters, CountDistribution.cpp:173-186)
+        shape = prior_shape + count_sum
+        scale = prior_scale / (num_obs * prior_scale + 1.0)
+        new_rates = jax.random.gamma(k_it, shape) * scale
+
+        collect = (t >= cfg.burn_in).astype(jnp.float32)
+        return (new_freqs, new_rates), (new_rates, collect)
+
+    (_, _), (trace, collected) = jax.lax.scan(
+        step, (freqs0, init_rates), jnp.arange(num_iters, dtype=jnp.int32)
+    )
+    rate_sum = jnp.sum(trace * collected[:, None], axis=0)
+    return rate_sum, trace

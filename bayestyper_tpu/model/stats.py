@@ -120,6 +120,7 @@ def collect_bucket_stats(
     num_chains = tally.shape[1]
     a_cap = allele_capacity
     g_cap = a_cap * (a_cap + 1) // 2
+    mac_top_t = min(mac_top_t, outcomes.num_outcomes)
 
     oa = jnp.asarray(outcomes.oa)
     ob = jnp.asarray(outcomes.ob)

@@ -1,0 +1,78 @@
+"""Registration of the bayesTyperTools-equivalent subcommands
+(bayesTyperTools main.cpp:74-99): combine, convertAllele, filter, annotate,
+addAttributes. Implemented incrementally in this package's tools modules."""
+
+from __future__ import annotations
+
+
+def register(sub):
+    p = sub.add_parser("combine", help="combine callsets vertically (non-overlapping variants are merged)")
+    p.add_argument("-v", "--vcf-files", required=True,
+                   help="comma-separated list of <name>:<path> callsets")
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("-z", "--gzip-output", action="store_true")
+    p.set_defaults(func=_cmd_combine)
+
+    p = sub.add_parser("convertAllele", help="convert symbolic alleles (<DEL>, <DUP>, <INV>, <INS>, <CN#>) to sequence")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-g", "--genome-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("--alt-file", default="", help="fasta with named alternative allele sequences")
+    p.add_argument("--mei-file", default="", help="fasta with mobile element insertion sequences")
+    p.add_argument("--keep-imprecise", action="store_true")
+    p.add_argument("--keep-partial", action="store_true")
+    p.add_argument("-z", "--gzip-output", action="store_true")
+    p.set_defaults(func=_cmd_convert_allele)
+
+    p = sub.add_parser("filter", help="filter genotyped variants")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("--min-homozygote-genotypes", type=int, default=0)
+    p.add_argument("--min-genotype-posterior", type=float, default=0.99)
+    p.add_argument("--min-number-of-kmers", type=float, default=1.0)
+    p.add_argument("--kmer-coverage-file", default="",
+                   help="genomic parameters file from genotyping (for FAK thresholds)")
+    p.add_argument("-z", "--gzip-output", action="store_true")
+    p.set_defaults(func=_cmd_filter)
+
+
+def _cmd_combine(args):
+    from .combine import combine
+
+    out = args.output_prefix + ".vcf" + (".gz" if args.gzip_output else "")
+    specs = []
+    for part in args.vcf_files.split(","):
+        name, path = part.split(":", 1)
+        specs.append((name, path))
+    combine(specs, out)
+    return 0
+
+
+def _cmd_convert_allele(args):
+    from .convert_allele import convert_allele
+    from ..io.fasta import Genome
+
+    genome = Genome.load(args.genome_file)
+    out = args.output_prefix + ".vcf" + (".gz" if args.gzip_output else "")
+    convert_allele(
+        args.vcf_file, genome, out,
+        alt_file=args.alt_file or None,
+        mei_file=args.mei_file or None,
+        keep_imprecise=args.keep_imprecise,
+        keep_partial=args.keep_partial,
+    )
+    return 0
+
+
+def _cmd_filter(args):
+    from .filter_tool import filter_vcf
+
+    out = args.output_prefix + ".vcf" + (".gz" if args.gzip_output else "")
+    filter_vcf(
+        args.vcf_file, out,
+        min_homozygote_genotypes=args.min_homozygote_genotypes,
+        min_genotype_posterior=args.min_genotype_posterior,
+        min_number_of_kmers=args.min_number_of_kmers,
+        kmer_coverage_file=args.kmer_coverage_file or None,
+    )
+    return 0

@@ -1,0 +1,116 @@
+"""Full pipeline test: simulate genome/variants/counts -> cluster phase ->
+genotype phase -> check output VCF genotype concordance (the end-to-end
+oracle the reference lacks; SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from bayestyper_tpu.engine import (
+    GenotypeOptions,
+    InferenceUnitData,
+    genotype_unit,
+    run_cluster_phase,
+)
+from bayestyper_tpu.io.samples import ChromosomePloidy
+from bayestyper_tpu.io.vcf import VcfReader
+
+from .util_sim import write_sim_data
+
+K = 31
+NUM_VARIANTS = 24
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("sim")
+    rng = np.random.default_rng(123)
+
+    # 3 diploid samples, random genotypes per variant
+    truth = [
+        [tuple(sorted(rng.integers(0, 2, 2))) for _ in range(NUM_VARIANTS + 10)]
+        for _ in range(3)
+    ]
+    genome, genome_path, vcf_path, variants, samples = write_sim_data(
+        tmp_path, rng, truth, k=K, num_snv=16, num_ins=4, num_del=4,
+        genome_len=40000, coverage=15.0,
+    )
+
+    ploidy = ChromosomePloidy.human_default()
+    unit = run_cluster_phase(
+        genome, samples, vcf_path, ploidy, kmer_size=K,
+        max_parameter_kmers=200000,
+    )
+
+    # artifact round-trip (checkpoint/resume boundary, SURVEY §5)
+    unit_path = str(tmp_path / "unit.pkl")
+    unit.save(unit_path)
+    unit = InferenceUnitData.load(unit_path)
+
+    out_path = str(tmp_path / "genotypes.vcf")
+    opts = GenotypeOptions(num_chains=6, burn_in=40, num_samples=100,
+                           random_seed=5)
+    summary = genotype_unit(unit, samples, genome, ploidy, out_path, opts)
+    return genome, variants, samples, truth, out_path, summary, unit
+
+
+def test_cluster_phase_counts(pipeline_result):
+    genome, variants, samples, truth, out_path, summary, unit = pipeline_result
+    assert len(unit.compiled) > 0
+    total_vars = sum(len(fc.variants) for fc in unit.compiled)
+    assert total_vars == len(variants)
+    assert len(unit.param_hi) > 1000
+
+
+def test_nb_fit_recovers_coverage(pipeline_result):
+    _, _, _, _, _, summary, _ = pipeline_result
+    # haploid mean 15 simulated; NB fit at multiplicity 2, size scaled back
+    assert 12.0 < summary["nb_mean"][0] < 18.0, summary["nb_mean"]
+
+
+def test_noise_rates_small(pipeline_result):
+    _, _, _, _, _, summary, _ = pipeline_result
+    assert (summary["noise_rates"] < 1.0).all(), summary["noise_rates"]
+
+
+def test_output_vcf_well_formed(pipeline_result):
+    genome, variants, samples, truth, out_path, summary, _ = pipeline_result
+    reader = VcfReader(out_path, parse_samples=True)
+    rows = list(reader)
+    assert len(rows) == len(variants)
+    assert reader.meta.samples == [s.name for s in samples]
+    for r in rows:
+        assert r.info_get("VCS") is not None
+        assert r.info_get("HC") is not None
+        for s in r.samples:
+            assert set(s.keys()) == {
+                "GT", "GQ", "GPP", "APP", "NAK", "FAK", "MAC", "SAF"
+            }
+
+
+def test_genotype_concordance(pipeline_result):
+    genome, variants, samples, truth, out_path, summary, _ = pipeline_result
+    reader = VcfReader(out_path, parse_samples=True)
+    pos_to_vi = {pos + 1: vi for vi, (pos, _, _) in enumerate(variants)}
+
+    called = 0
+    correct = 0
+    total = 0
+    for r in reader:
+        vi = pos_to_vi[r.pos]
+        for si, s in enumerate(r.samples):
+            total += 1
+            gt = s["GT"]
+            if "." in gt:
+                continue
+            called += 1
+            a = tuple(sorted(int(x) for x in gt.split("/")))
+            if a == truth[si][vi]:
+                correct += 1
+
+    call_rate = called / total
+    concordance = correct / max(called, 1)
+    print(f"call rate {call_rate:.3f}, concordance {concordance:.3f}")
+    # with 15x coverage and ~60 informative kmers per allele these should be
+    # high; subsampling no-calls keep the call rate below 1
+    assert call_rate > 0.7, (call_rate, concordance)
+    assert concordance > 0.95, (call_rate, concordance)
