@@ -102,10 +102,18 @@ def cmd_genotype(args):
         random_seed=args.random_seed,
     )
     out = args.output_prefix + ".vcf" + (".gz" if args.gzip_output else "")
-    genotype_unit(
-        unit, samples, genome, ploidy, out, opts,
-        command_lines=[_cmdline_header(args, "genotype")],
-    )
+    if opts.noise_genotyping:
+        from .engine import genotype_unit_joint
+
+        genotype_unit_joint(
+            unit, samples, genome, ploidy, out, opts,
+            command_lines=[_cmdline_header(args, "genotype")],
+        )
+    else:
+        genotype_unit(
+            unit, samples, genome, ploidy, out, opts,
+            command_lines=[_cmdline_header(args, "genotype")],
+        )
     return 0
 
 

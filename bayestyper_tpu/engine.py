@@ -644,14 +644,13 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
 
 
 def _emit_records(writer, chunk, stats, samples, ploidy_model):
-    gpp = np.asarray(stats.gpp)
-    app = np.asarray(stats.app)
-    gq = np.asarray(stats.gq)
-    gt = np.asarray(stats.gt)
-    saf = np.asarray(stats.saf)
-    nak = np.asarray(stats.nak)
-    fak = np.asarray(stats.fak)
-    mac = np.asarray(stats.mac)
+    import jax
+
+    # single batched device->host transfer (the tunnel charges ~27ms fixed
+    # latency per round trip; one device_get amortises all leaves)
+    stats = jax.device_get(stats)
+    gpp, app, gq, gt = stats.gpp, stats.app, stats.gq, stats.gt
+    saf, nak, fak, mac = stats.saf, stats.nak, stats.fak, stats.mac
 
     for ci, fc in enumerate(chunk):
         start = min(x.pos for x in fc.variants)
@@ -685,3 +684,96 @@ def _emit_records(writer, chunk, stats, samples, ploidy_model):
                     saf=saf[ci, :, vi],
                 )
             )
+
+
+def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
+                        opts: GenotypeOptions, command_lines=(),
+                        table=None, counts=None, nb_params=None):
+    """Joint noise+genotype estimation (--noise-genotyping,
+    estimateNoiseAndGenotypes InferenceEngine.cpp:384-472): every Gibbs
+    iteration couples all clusters through the noise rate; tallies collected
+    post-burn-in. All clusters are padded into ONE unified size class so the
+    per-iteration noise coupling stays inside one compiled scan."""
+    import jax
+    import jax.numpy as jnp
+    from .model.buckets import build_bucket
+    from .model.gibbs import GibbsConfig, joint_chain, make_outcome_space
+    from .model.stats import FilterConfig, collect_bucket_stats
+    from .ops.distributions import np_build_count_log_prob_tables
+
+    rng = np.random.default_rng(opts.random_seed)
+    if table is None:
+        table, counts = gather_sample_counts(unit, samples)
+    if nb_params is None:
+        pstats = parameter_kmer_stats(unit, samples, table, counts)
+        nb_params = fit_genomic_nb(pstats)
+        _log(f"NB fit: mean={nb_params.mean} var={nb_params.var}")
+
+    fcs = list(unit.compiled)
+    h = max(_pow2_at_least(fc.hap_allele.shape[0], 2) for fc in fcs)
+    k = max(_pow2_at_least(max(len(fc.kmer_hi), 1), 32) for fc in fcs)
+    v = max(_pow2_at_least(len(fc.variants), 1) for fc in fcs)
+    a = max(_pow2_at_least(max(x.num_alleles for x in fc.variants), 2)
+            for fc in fcs)
+    c_pad = _pow2_at_least(len(fcs), 1)
+    dicts = [
+        _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
+        for fc in fcs
+    ]
+    bucket = build_bucket(dicts, (c_pad, k, h, v), len(samples)).device_arrays()
+
+    tables = jnp.asarray(
+        np_build_count_log_prob_tables(
+            nb_params.p, nb_params.size, np.full(len(samples), 1e-3), 255
+        )
+    )
+    outcomes = make_outcome_space(h)
+    max_tot = _pow2_at_least(
+        min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in fcs)
+            + max(int(fc.inter_mult_female.max(initial=0)) for fc in fcs)
+            + max(int(fc.inter_mult_male.max(initial=0)) for fc in fcs)), 8,
+    )
+    cfg = GibbsConfig(
+        num_chains=1, burn_in=opts.burn_in, num_samples=opts.num_samples,
+        kmer_subsampling_rate=opts.kmer_subsampling_rate,
+        max_total_mult=max_tot,
+    )
+
+    shape, scale = opts.noise_rate_prior
+    key = jax.random.PRNGKey(opts.random_seed)
+    tallies, ws, traces = [], [], []
+    for chain in range(opts.num_chains):
+        k_init = jax.random.fold_in(jax.random.fold_in(key, 77), chain)
+        init_rates = jax.random.gamma(k_init, shape, (len(samples),)) * scale
+        tally, w, trace = joint_chain(
+            key, bucket, tables, init_rates, (shape, scale), outcomes, cfg,
+            chain_idx=chain,
+        )
+        tallies.append(tally)
+        ws.append(w)
+        traces.append(np.asarray(trace))
+        _log(f"Finished {chain + 1} gibbs sampling chain"
+             f"{'s' if chain else ''}")
+
+    tally = jnp.stack(tallies, axis=1)   # [C, chains, S, O]
+    w = jnp.stack(ws, axis=1)            # [C, chains, K]
+
+    filters = FilterConfig.from_model(
+        nb_params.mean, opts.min_genotype_posterior, opts.min_number_of_kmers,
+        opts.disable_observed_kmers,
+    )
+    stats = collect_bucket_stats(
+        bucket, outcomes, tally, w, filters, allele_capacity=a, mac_top_t=8,
+    )
+    writer = GenotypeVcfWriter(
+        out_path, genome, [s.name for s in samples], command_lines
+    )
+    _emit_records(writer, fcs, stats, samples, ploidy_model)
+    n = writer.finalise()
+    _log(f"Wrote {n} variants to {out_path}")
+    return {
+        "num_variants": n,
+        "noise_traces": np.stack(traces),
+        "nb_mean": nb_params.mean,
+        "nb_var": nb_params.var,
+    }

@@ -91,14 +91,13 @@ class ClusterBucket:
 
 
 def _pack_member_bits(member_bool):
-    """[C,K,V,H] bool -> [C,K,V,ceil(H/32)] uint32 bitmask."""
+    """[C,K,V,H] bool -> [C,K,V,ceil(H/32)] uint32 bitmask (via packbits)."""
     c, k, v, h = member_bool.shape
     w = (h + 31) // 32
-    padded = np.zeros((c, k, v, w * 32), dtype=bool)
-    padded[..., :h] = member_bool
-    bits = padded.reshape(c, k, v, w, 32).astype(np.uint32)
-    weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))
-    return (bits * weights).sum(axis=-1, dtype=np.uint32)
+    pb = np.packbits(member_bool, axis=-1, bitorder="little")
+    padded = np.zeros((c, k, v, w * 4), dtype=np.uint8)
+    padded[..., : pb.shape[-1]] = pb
+    return padded.view(np.uint32).reshape(c, k, v, w)
 
 
 def unpack_member_bits(member_packed, num_haplotypes):

@@ -480,3 +480,95 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
     )
     rate_sum = jnp.sum(trace * collected[:, None], axis=0)
     return rate_sum, trace
+
+
+@functools.partial(
+    jax.jit, static_argnames=("outcomes", "cfg", "chain_idx", "axis_name")
+)
+def joint_chain(base_key, bucket: ClusterBucket, tables, init_rates,
+                noise_prior, outcomes: OutcomeSpace, cfg: GibbsConfig,
+                chain_idx: int, axis_name: str | None = None):
+    """One joint noise+genotyping chain (--noise-genotyping,
+    estimateNoiseAndGenotypes InferenceEngine.cpp:384-472): like noise_chain
+    but over ALL clusters, collecting post-burn-in outcome tallies for
+    genotype estimation while the noise rate is resampled every iteration.
+
+    Returns (tally [C, S, O], w [C, K], rate_trace [iters, S]).
+    """
+    c = bucket.num_clusters
+    s = bucket.num_samples
+    o = outcomes.num_outcomes
+    num_iters = cfg.burn_in + cfg.num_samples
+    prior_shape, prior_scale = noise_prior
+
+    k_sub, k_chain, k_noise = jax.random.split(
+        jax.random.fold_in(base_key, chain_idx), 3
+    )
+    w = subsample_masks(k_sub, bucket.kmer_valid, 1, cfg.kmer_subsampling_rate)
+
+    llg = compute_log_likelihoods(
+        bucket, outcomes, tables, w, cfg.max_total_mult, include_noise_row=False
+    )[:, 0]
+    a, b, c0 = compute_noise_terms(bucket, outcomes, w)
+    a, b, c0 = a[:, 0], b[:, 0], c0[:, 0]
+    ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
+
+    osp = (
+        jnp.asarray(outcomes.oa),
+        jnp.asarray(outcomes.ob),
+        jnp.asarray(outcomes.het_bonus),
+        jnp.asarray(outcomes.ploidy_mask),
+    )
+    cluster_keys = jax.vmap(
+        lambda cid: jax.random.fold_in(
+            jax.random.fold_in(k_chain, cid.astype(jnp.uint32)), 0
+        )
+    )(bucket.cluster_id)
+
+    hv = bucket.hap_valid
+    nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
+    freqs0 = jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)
+    cv = bucket.cluster_valid.astype(jnp.float32)
+
+    def step(carry, t):
+        freqs, rates, tally = carry
+        log_r = jnp.log(jnp.maximum(rates, 1e-30))
+        ll = llg + (
+            a * log_r[None, :, None] - b * rates[None, :, None] - c0
+        ) * ll_mask
+
+        def per_cluster(ck, f, llc, ploidy, hvc, sp, usp):
+            key = jax.random.fold_in(ck, t.astype(jnp.uint32))
+            return _gibbs_iteration(key, f, llc, ploidy, hvc, sp, usp, osp)
+
+        new_freqs, o_sel = jax.vmap(per_cluster)(
+            cluster_keys, freqs, ll, bucket.ploidy, hv,
+            bucket.sparsity, bucket.use_sparse,
+        )
+
+        a_sel = jnp.take_along_axis(a, o_sel[:, :, None], axis=2)[..., 0]
+        b_sel = jnp.take_along_axis(b, o_sel[:, :, None], axis=2)[..., 0]
+        count_sum = jnp.sum(a_sel * cv[:, None], axis=0)
+        num_obs = jnp.sum(b_sel * cv[:, None], axis=0)
+        if axis_name is not None:
+            count_sum = jax.lax.psum(count_sum, axis_name)
+            num_obs = jax.lax.psum(num_obs, axis_name)
+
+        k_it = jax.random.fold_in(k_noise, t.astype(jnp.uint32))
+        shape = prior_shape + count_sum
+        scale = prior_scale / (num_obs * prior_scale + 1.0)
+        new_rates = jax.random.gamma(k_it, shape) * scale
+
+        collect = (t >= cfg.burn_in).astype(jnp.int32)
+        onehot = (
+            jnp.arange(o, dtype=jnp.int32)[None, None, :] == o_sel[..., None]
+        ).astype(jnp.int32)
+        tally = tally + collect * onehot
+        return (new_freqs, new_rates, tally), new_rates
+
+    tally0 = jnp.zeros((c, s, o), jnp.int32)
+    (_, _, tally), trace = jax.lax.scan(
+        step, (freqs0, init_rates, tally0),
+        jnp.arange(num_iters, dtype=jnp.int32),
+    )
+    return tally, w[:, 0], trace

@@ -24,6 +24,28 @@ def register(sub):
     p.add_argument("-z", "--gzip-output", action="store_true")
     p.set_defaults(func=_cmd_convert_allele)
 
+    p = sub.add_parser("annotate", help="annotate alleles by similarity to an annotation VCF")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-a", "--annotation-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("--match-threshold", type=float, default=0.5)
+    p.add_argument("--window-size-scale", type=float, default=3.0)
+    p.add_argument("--clear-prev-annotation", action="store_true")
+    p.add_argument("-z", "--gzip-output", action="store_true")
+    p.set_defaults(func=_cmd_annotate)
+
+    p = sub.add_parser("addAttributes", help="add HPL/RMA/IBC/CONC attributes")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("-g", "--genome-file", default="")
+    p.add_argument("--repeat-file", default="", help="RepeatMasker .out file")
+    p.add_argument("--independent-samples-regex", default="",
+                   help="regex selecting samples for the inbreeding coefficient")
+    p.add_argument("--trio-info", default="",
+                   help="comma-separated trios <child>:<father>:<mother>;...")
+    p.add_argument("-z", "--gzip-output", action="store_true")
+    p.set_defaults(func=_cmd_add_attributes)
+
     p = sub.add_parser("filter", help="filter genotyped variants")
     p.add_argument("-v", "--vcf-file", required=True)
     p.add_argument("-o", "--output-prefix", required=True)
@@ -60,6 +82,39 @@ def _cmd_convert_allele(args):
         mei_file=args.mei_file or None,
         keep_imprecise=args.keep_imprecise,
         keep_partial=args.keep_partial,
+    )
+    return 0
+
+
+def _cmd_annotate(args):
+    from .annotate import annotate
+
+    out = args.output_prefix + ".vcf" + (".gz" if args.gzip_output else "")
+    annotate(
+        args.vcf_file, args.annotation_file, out,
+        match_threshold=args.match_threshold,
+        window_size_scale=args.window_size_scale,
+        clear_prev_annotation=args.clear_prev_annotation,
+    )
+    return 0
+
+
+def _cmd_add_attributes(args):
+    from .add_attributes import add_attributes
+    from ..io.fasta import Genome
+
+    genome = Genome.load(args.genome_file) if args.genome_file else None
+    trios = []
+    if args.trio_info:
+        for part in args.trio_info.split(","):
+            child, father, mother = part.split(":")
+            trios.append((child, father, mother))
+    out = args.output_prefix + ".vcf" + (".gz" if args.gzip_output else "")
+    add_attributes(
+        args.vcf_file, out, genome=genome,
+        repeatmasker_file=args.repeat_file or None,
+        independent_samples_regex=args.independent_samples_regex or None,
+        trios=trios or None,
     )
     return 0
 

@@ -122,14 +122,9 @@ def main():
                 bucket, outcomes, tally, w, filters,
                 allele_capacity=2, mac_top_t=4,
             )
-            gt = np.asarray(stats.gt)
-            gq = np.asarray(stats.gq)
-            gpp = np.asarray(stats.gpp)
-            app = np.asarray(stats.app)
-            nak = np.asarray(stats.nak)
-            fak = np.asarray(stats.fak)
-            mac = np.asarray(stats.mac)
-            saf = np.asarray(stats.saf)
+            stats = jax.device_get(stats)  # one batched transfer
+            gt, gq, gpp, app = stats.gt, stats.gq, stats.gpp, stats.app
+            nak, fak, mac, saf = stats.nak, stats.fak, stats.mac, stats.saf
             for ci, cl in enumerate(chunk):
                 v = cl["variant"]
                 writer.add(VariantGenotypeRecord(
