@@ -67,10 +67,14 @@ def cmd_cluster(args):
         max_sample_haplotypes=args.max_number_of_sample_haplotypes,
         rng_seed=args.random_seed,
     )
-    out = f"{args.output_prefix}_unit_1/variant_clusters.pkl"
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    unit.save(out)
-    print(f"Wrote inference unit to {out}")
+    from .engine import split_units
+
+    units = split_units(unit, args.min_number_of_unit_variants)
+    for i, u in enumerate(units, 1):
+        out = f"{args.output_prefix}_unit_{i}/variant_clusters.pkl"
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        u.save(out)
+        print(f"Wrote inference unit to {out}")
     return 0
 
 
@@ -78,6 +82,9 @@ def cmd_genotype(args):
     from .engine import GenotypeOptions, InferenceUnitData, genotype_unit
     from .io.fasta import Genome
     from .io.samples import ChromosomePloidy, read_samples_tsv
+    from .utils import jaxenv
+
+    jaxenv.setup()
 
     genome = Genome.load(args.genome_file, args.decoy_file or None)
     samples = read_samples_tsv(args.samples_file)
@@ -166,9 +173,35 @@ def main(argv=None):
     p.add_argument("--run-test", action="store_true")
     p.set_defaults(func=cmd_make_bloom)
 
+    p = sub.add_parser("concat", help="concatenate per-unit genotype VCFs")
+    p.add_argument("-v", "--vcf-files", required=True,
+                   help="comma-separated per-unit VCF paths")
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("-z", "--gzip-output", action="store_true")
+    p.set_defaults(func=cmd_concat)
+
+    p = sub.add_parser("workflow",
+                       help="full pipeline: [count kmers ->] makeBloom -> cluster -> genotype -> concat")
+    _add_common(p)
+    p.add_argument("-c", "--cluster-only", action="store_true")
+    p.add_argument("--reads", default="",
+                   help="comma-separated per-sample read files (fastq/fasta[.gz]) to count kmers when KMC tables are absent")
+    p.add_argument("--min-kmer-count", type=int, default=1)
+    p.add_argument("-u", "--min-number-of-unit-variants", type=int, default=5000000)
+    p.add_argument("--max-number-of-sample-haplotypes", type=int, default=32)
+    p.add_argument("-y", "--chromosome-ploidy-file", default="")
+    p.add_argument("--number-of-gibbs-chains", type=int, default=20)
+    p.add_argument("--gibbs-burn-in", type=int, default=100)
+    p.add_argument("--gibbs-samples", type=int, default=250)
+    p.add_argument("--kmer-subsampling-rate", type=float, default=0.1)
+    p.add_argument("--noise-genotyping", action="store_true")
+    p.add_argument("-z", "--gzip-output", action="store_true")
+    p.set_defaults(func=cmd_workflow)
+
     from .tools import cli_ext
 
     cli_ext.register(sub)
+    cli_ext.register_scripts(sub)
 
     args = parser.parse_args(argv)
     return args.func(args)
@@ -176,3 +209,110 @@ def main(argv=None):
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def cmd_concat(args):
+    from .engine import concat_vcfs
+
+    out = args.output_prefix + ".vcf" + (".gz" if args.gzip_output else "")
+    n = concat_vcfs(args.vcf_files.split(","), out)
+    print(f"Wrote {n} variants to {out}")
+    return 0
+
+
+def cmd_workflow(args):
+    """End-to-end pipeline orchestration (the workflows/ Snakemake DAG
+    equivalent, workflows/call_candidates_and_genotype.smk): count k-mers
+    from reads when no KMC tables exist, build blooms, cluster into units,
+    genotype every unit, concatenate."""
+    import os
+
+    from .engine import (
+        GenotypeOptions, InferenceUnitData, concat_vcfs, genotype_unit,
+        genotype_unit_joint, run_cluster_phase, split_units,
+    )
+    from .io.fasta import Genome
+    from .io.samples import ChromosomePloidy, read_samples_tsv
+    from .utils import jaxenv
+
+    jaxenv.setup()
+    genome = Genome.load(args.genome_file, args.decoy_file or None)
+    samples = read_samples_tsv(args.samples_file)
+    ploidy = (
+        ChromosomePloidy.from_file(args.chromosome_ploidy_file)
+        if args.chromosome_ploidy_file
+        else ChromosomePloidy.human_default()
+    )
+
+    # 1. k-mer tables: build from reads when missing (replaces external KMC3)
+    reads = args.reads.split(",") if args.reads else []
+    for i, s in enumerate(samples):
+        if os.path.exists(s.kmc_prefix + ".kmc_pre"):
+            continue
+        if i >= len(reads):
+            raise SystemExit(
+                f"no KMC table at {s.kmc_prefix} and no --reads entry for "
+                f"sample {s.name}"
+            )
+        from .io.fastq import read_sequences
+        from .io.kmc import count_kmers_from_sequences, write_kmc1
+
+        print(f"Counting {args.kmer_size}-mers for {s.name} from {reads[i]}")
+        hi, lo, counts = count_kmers_from_sequences(
+            read_sequences(reads[i]), args.kmer_size, args.min_kmer_count
+        )
+        write_kmc1(s.kmc_prefix, hi, lo, counts, kmer_length=args.kmer_size)
+
+    # 2. blooms
+    from .ops.bloom import KmerBloomFilter
+    from .tools.make_bloom import kmc_to_bloom
+
+    blooms = []
+    for s in samples:
+        path = s.kmc_prefix + ".bloom.npz"
+        if os.path.exists(path):
+            blooms.append(KmerBloomFilter.load(path))
+        else:
+            bloom, _ = kmc_to_bloom(s.kmc_prefix)
+            blooms.append(bloom)
+
+    # 3. cluster -> units
+    unit = run_cluster_phase(
+        genome, samples, args.vcf_file, ploidy, sample_blooms=blooms,
+        kmer_size=args.kmer_size,
+        max_sample_haplotypes=args.max_number_of_sample_haplotypes,
+        rng_seed=args.random_seed,
+    )
+    units = split_units(unit, args.min_number_of_unit_variants)
+    unit_paths = []
+    for i, u in enumerate(units, 1):
+        path = f"{args.output_prefix}_unit_{i}/variant_clusters.pkl"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        u.save(path)
+        unit_paths.append(path)
+    if args.cluster_only:
+        return 0
+
+    # 4. genotype each unit
+    opts = GenotypeOptions(
+        num_chains=args.number_of_gibbs_chains,
+        burn_in=args.gibbs_burn_in,
+        num_samples=args.gibbs_samples,
+        kmer_subsampling_rate=args.kmer_subsampling_rate,
+        noise_genotyping=args.noise_genotyping,
+        random_seed=args.random_seed,
+    )
+    unit_vcfs = []
+    for i, path in enumerate(unit_paths, 1):
+        u = InferenceUnitData.load(path)
+        out = f"{args.output_prefix}_unit_{i}/genotypes.vcf"
+        fn = genotype_unit_joint if args.noise_genotyping else genotype_unit
+        fn(u, samples, genome, ploidy, out, opts,
+           command_lines=[_cmdline_header(args, "workflow")])
+        unit_vcfs.append(out)
+
+    # 5. concat
+    final = args.output_prefix + ".vcf" + (".gz" if args.gzip_output else "")
+    n = concat_vcfs(unit_vcfs, final)
+    print(f"Wrote {n} variants to {final}")
+    return 0

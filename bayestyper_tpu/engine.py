@@ -85,6 +85,10 @@ class LaneTable:
         """Index of each query in the table, -1 if absent."""
         if len(self.hi) == 0 or len(hi) == 0:
             return np.full(len(hi), -1, dtype=np.int64)
+        from . import native
+
+        if native.available():
+            return native.lane_lookup(self.hi, self.lo, hi, lo)
         out = np.searchsorted(self.hi, hi, side="left").astype(np.int64)
         n = len(self.hi)
         for _ in range(64):
@@ -434,11 +438,21 @@ def _pow2_at_least(x, lo):
     return v
 
 
+def _step_at_least(x, lo, step):
+    v = lo
+    while v < x:
+        v *= step
+    return v
+
+
 def _size_class(fc: FinalizedCluster):
+    """Coarse size classes: every distinct class costs one XLA compile
+    (~50s on the tunnel), so K/V/A use x4 steps — over-padding is cheap
+    (LL compute is linear in K) while compiles are not."""
     h = _pow2_at_least(fc.hap_allele.shape[0], 2)
-    k = _pow2_at_least(max(len(fc.kmer_hi), 1), 32)
-    v = _pow2_at_least(len(fc.variants), 1)
-    a = _pow2_at_least(max(x.num_alleles for x in fc.variants), 2)
+    k = _step_at_least(max(len(fc.kmer_hi), 1), 256, 4)
+    v = _step_at_least(len(fc.variants), 1, 4)
+    a = _step_at_least(max(x.num_alleles for x in fc.variants), 2, 2)
     return (h, k, v, a)
 
 
@@ -501,10 +515,12 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
         raise ValueError("no clusters to estimate noise from")
     modal = max(by_class, key=lambda k: len(by_class[k]))
     pool = by_class[modal]
-    # cap at the noise batch size (noise_variants_batch_size = 100000)
+    # cap at the noise batch size (noise_variants_batch_size = 100000);
+    # additionally cap the cluster count so the likelihood precompute's
+    # [C, S, M, K] gather stays within HBM
     rng.shuffle(pool)
     batch = pool[: max(1, NOISE_ESTIMATION_VARIANTS // max(1, len(pool[0].variants)))]
-    batch = batch[:NOISE_ESTIMATION_VARIANTS]
+    batch = batch[:8192]
 
     h, k, v, a = modal
     c_pad = _pow2_at_least(len(batch), 1)
@@ -527,7 +543,7 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     cfg = GibbsConfig(
         num_chains=1, burn_in=opts.burn_in, num_samples=opts.num_samples,
         kmer_subsampling_rate=opts.kmer_subsampling_rate,
-        max_total_mult=_pow2_at_least(max_tot, 8),
+        max_total_mult=_step_at_least(max_tot, 8, 4),
     )
 
     shape, scale = opts.noise_rate_prior
@@ -599,14 +615,14 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     num_genotyped = 0
     for (h, k, v, a), fcs in sorted(by_class.items()):
         outcomes = make_outcome_space(h)
-        max_tot = _pow2_at_least(
+        max_tot = _step_at_least(
             min(
                 255,
                 2 * max(int(fc.mult.max(initial=1)) for fc in fcs)
                 + max(int(fc.inter_mult_female.max(initial=0)) for fc in fcs)
                 + max(int(fc.inter_mult_male.max(initial=0)) for fc in fcs),
             ),
-            8,
+            8, 4,
         )
         cfg = GibbsConfig(
             num_chains=opts.num_chains, burn_in=opts.burn_in,
@@ -728,10 +744,10 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
         )
     )
     outcomes = make_outcome_space(h)
-    max_tot = _pow2_at_least(
+    max_tot = _step_at_least(
         min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in fcs)
             + max(int(fc.inter_mult_female.max(initial=0)) for fc in fcs)
-            + max(int(fc.inter_mult_male.max(initial=0)) for fc in fcs)), 8,
+            + max(int(fc.inter_mult_male.max(initial=0)) for fc in fcs)), 8, 4,
     )
     cfg = GibbsConfig(
         num_chains=1, burn_in=opts.burn_in, num_samples=opts.num_samples,
@@ -777,3 +793,81 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
         "nb_mean": nb_params.mean,
         "nb_var": nb_params.var,
     }
+
+
+def split_units(unit: InferenceUnitData, min_unit_variants: int):
+    """Split a compiled unit into independent inference units of at least
+    min_unit_variants variants each (file-level multi-node data parallelism,
+    main.cpp:217-294 + README "Computational requirements": units are
+    genotyped as independent jobs and concatenated).
+
+    Parameter k-mers and regions are shared by every unit (the reference's
+    shared bayestyper_cluster_data/, main.cpp:317-353)."""
+    total = sum(len(fc.variants) for fc in unit.compiled)
+    num_units = max(1, total // max(min_unit_variants, 1))
+    if num_units == 1:
+        return [unit]
+    per_unit = -(-total // num_units)
+
+    units = []
+    chunk = []
+    count = 0
+    for fc in unit.compiled:
+        chunk.append(fc)
+        count += len(fc.variants)
+        if count >= per_unit and len(units) < num_units - 1:
+            units.append(chunk)
+            chunk = []
+            count = 0
+    if chunk:
+        units.append(chunk)
+
+    return [
+        InferenceUnitData(
+            kmer_size=unit.kmer_size,
+            compiled=chunk,
+            regions=unit.regions,
+            param_hi=unit.param_hi,
+            param_lo=unit.param_lo,
+            param_mult_female=unit.param_mult_female,
+            param_mult_male=unit.param_mult_male,
+            exclusion_stats=unit.exclusion_stats,
+        )
+        for chunk in units
+    ]
+
+
+def concat_vcfs(paths, out_path):
+    """Merge per-unit genotype VCFs (bcftools concat equivalent for the
+    multi-unit protocol): identical headers, rows re-sorted per contig."""
+    import gzip as _gzip
+    from collections import defaultdict as _dd
+
+    header = None
+    contig_order = []
+    rows = _dd(list)
+    for path in paths:
+        opener = _gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as fh:
+            this_header = []
+            for line in fh:
+                if line.startswith("#"):
+                    this_header.append(line)
+                    if line.startswith("##contig=<ID="):
+                        name = line.split("ID=")[1].split(",")[0].split(">")[0]
+                        if name not in contig_order:
+                            contig_order.append(name)
+                    continue
+                chrom, pos, rest = line.split("\t", 2)
+                rows[chrom].append((int(pos), line))
+            if header is None:
+                header = this_header
+    opener = _gzip.open if out_path.endswith(".gz") else open
+    n = 0
+    with opener(out_path, "wt") as fh:
+        fh.writelines(header or [])
+        for chrom in contig_order or sorted(rows):
+            for _, line in sorted(rows.get(chrom, []), key=lambda x: x[0]):
+                fh.write(line)
+                n += 1
+    return n

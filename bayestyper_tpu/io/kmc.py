@@ -133,11 +133,26 @@ class KmcReader:
         n_hi = min(27, k)
         lut_len = info.lut_prefix_length
 
+        from .. import native
+
         while self._next_record < info.total_kmers:
             n = min(batch_size, info.total_kmers - self._next_record)
             raw = self._suf.read(n * self._rec_size)
             if len(raw) < n * self._rec_size:
                 raise IOError("truncated .kmc_suf")
+
+            if native.available():
+                pref = self._prefix_values(
+                    self._next_record, self._next_record + n
+                )
+                hi, lo, counts = native.kmc_decode(
+                    raw, self._rec_size, self._sufix_size,
+                    info.counter_size, pref, lut_len, k,
+                )
+                self._next_record += n
+                yield hi, lo, counts
+                continue
+
             rec = np.frombuffer(raw, dtype=np.uint8).reshape(n, self._rec_size)
             suffix_bytes = rec[:, : self._sufix_size]
             counter_bytes = rec[:, self._sufix_size :]

@@ -1,0 +1,143 @@
+"""ctypes bindings to the btnative C++ host kernels, with transparent
+auto-build (the repository's `native/btnative.cpp`) and graceful fallback
+to the numpy implementations when no compiler is available.
+
+The reference's host hot paths are C++ (Kmer.tpp rolling updates,
+kmc_file.cpp record decode, HybridHash lookups); this module is their
+counterpart. API surface mirrors ops.kmers / engine.LaneTable / ops.bloom.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _repo_root():
+    return os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+
+
+def _lib_path():
+    return os.path.join(os.path.dirname(__file__), "libbtnative.so")
+
+
+def _build():
+    src = os.path.join(_repo_root(), "native", "btnative.cpp")
+    if not os.path.exists(src):
+        return False
+    out = _lib_path()
+    try:
+        subprocess.run(
+            ["c++", "-O3", "-march=native", "-shared", "-fPIC", "-o", out, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    src = os.path.join(_repo_root(), "native", "btnative.cpp")
+    needs_build = not os.path.exists(path) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(path)
+    )
+    if needs_build and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int32
+    u64 = ctypes.c_uint64
+
+    lib.bt_kmer_lanes.argtypes = [u8p, u8p, i64, i32, u64p, u64p, u8p]
+    lib.bt_lane_lookup.argtypes = [u64p, u64p, i64, u64p, u64p, i64, i64p]
+    lib.bt_kmc_decode.argtypes = [u8p, i64, i32, i32, i32, u64p, i32, i32,
+                                  u64p, u64p, u64p]
+    lib.bt_bloom_insert.argtypes = [u64p, u64, i32, u64p, u64p, i64]
+    lib.bt_bloom_query.argtypes = [u64p, u64, i32, u64p, u64p, i64, u8p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def kmer_lanes(codes, valid, k):
+    """Native canonical lane extraction (same contract as ops.kmers.kmer_lanes)."""
+    lib = get_lib()
+    n = len(codes)
+    num = max(n - k + 1, 0)
+    hi = np.zeros(num, dtype=np.uint64)
+    lo = np.zeros(num, dtype=np.uint64)
+    ok = np.zeros(num, dtype=np.uint8)
+    if num:
+        lib.bt_kmer_lanes(
+            np.ascontiguousarray(codes, np.uint8),
+            np.ascontiguousarray(valid.astype(np.uint8)),
+            n, k, hi, lo, ok,
+        )
+    return hi, lo, ok.astype(bool)
+
+
+def lane_lookup(table_hi, table_lo, qhi, qlo):
+    lib = get_lib()
+    out = np.empty(len(qhi), dtype=np.int64)
+    lib.bt_lane_lookup(
+        np.ascontiguousarray(table_hi), np.ascontiguousarray(table_lo),
+        len(table_hi),
+        np.ascontiguousarray(qhi, np.uint64),
+        np.ascontiguousarray(qlo, np.uint64), len(qhi), out,
+    )
+    return out
+
+
+def kmc_decode(records, rec_size, sufix_bytes, counter_bytes, prefixes,
+               lut_len, k):
+    lib = get_lib()
+    n = len(records) // rec_size
+    hi = np.empty(n, dtype=np.uint64)
+    lo = np.empty(n, dtype=np.uint64)
+    counts = np.empty(n, dtype=np.uint64)
+    lib.bt_kmc_decode(
+        np.ascontiguousarray(np.frombuffer(records, np.uint8)), n, rec_size,
+        sufix_bytes, counter_bytes,
+        np.ascontiguousarray(prefixes, np.uint64), lut_len, k, hi, lo, counts,
+    )
+    return hi, lo, counts
+
+
+def bloom_insert(bits, num_bits, num_hashes, hi, lo):
+    get_lib().bt_bloom_insert(
+        bits, np.uint64(num_bits), num_hashes,
+        np.ascontiguousarray(hi, np.uint64),
+        np.ascontiguousarray(lo, np.uint64), len(hi),
+    )
+
+
+def bloom_query(bits, num_bits, num_hashes, hi, lo):
+    out = np.empty(len(hi), dtype=np.uint8)
+    get_lib().bt_bloom_query(
+        bits, np.uint64(num_bits), num_hashes,
+        np.ascontiguousarray(hi, np.uint64),
+        np.ascontiguousarray(lo, np.uint64), len(hi), out,
+    )
+    return out.astype(bool)

@@ -138,11 +138,22 @@ def _compose_le(v, start, length):
 def kmer_lanes(codes, valid, k: int = KMER_SIZE):
     """All k-mers of a sequence as canonical uint64 lane pairs.
 
+    Dispatches to the native C++ rolling kernel when available (bit-identical;
+    tests/test_native.py), falling back to the numpy doubling-window path.
+
     Args:
       codes: [L] uint8 2-bit codes; valid: [L] bool.
     Returns:
       (hi, lo, ok): uint64 [L-k+1] canonical lanes + validity mask.
     """
+    from .. import native
+
+    if codes.shape[0] >= k and native.available():
+        return native.kmer_lanes(codes, valid, k)
+    return _kmer_lanes_numpy(codes, valid, k)
+
+
+def _kmer_lanes_numpy(codes, valid, k: int = KMER_SIZE):
     length = codes.shape[0]
     if length < k:
         z = np.zeros(0, dtype=np.uint64)

@@ -58,6 +58,64 @@ def register(sub):
     p.set_defaults(func=_cmd_filter)
 
 
+def register_scripts(sub):
+    """Analysis scripts (src/bayesTyperTools/scripts equivalents)."""
+    p = sub.add_parser("getSummary", help="variant/allele summary count tables")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.set_defaults(func=lambda a: _run(
+        "get_summary", a.vcf_file, a.output_prefix))
+
+    p = sub.add_parser("writeIndels", help="extract indel sequences to fasta")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("--min-length", type=int, default=1)
+    p.set_defaults(func=lambda a: _run(
+        "write_indels", a.vcf_file, a.output_prefix, a.min_length))
+
+    p = sub.add_parser("filterStructuralVariants", help="filter by SV length")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("--min-sv-length", type=int, default=50)
+    p.add_argument("--max-sv-length", type=int, default=10**9)
+    p.set_defaults(func=lambda a: _run(
+        "filter_structural_variants", a.vcf_file, a.output_prefix + ".vcf",
+        a.min_sv_length, a.max_sv_length))
+
+    p = sub.add_parser("filterAlleleCallsetOrigin", help="filter alts by ACO")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("-c", "--callsets", required=True,
+                   help="comma-separated callset names to keep")
+    p.set_defaults(func=lambda a: _run(
+        "filter_allele_callset_origin", a.vcf_file, a.output_prefix + ".vcf",
+        a.callsets.split(",")))
+
+    p = sub.add_parser("getGenomicIntervals", help="variant intervals as BED")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("--flank", type=int, default=0)
+    p.set_defaults(func=lambda a: _run(
+        "get_genomic_intervals", a.vcf_file, a.output_prefix + ".bed", a.flank))
+
+    p = sub.add_parser("collapseSummaryTable", help="collapse a summary table")
+    p.add_argument("-t", "--table-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("-c", "--columns", required=True,
+                   help="comma-separated columns to keep")
+    p.set_defaults(func=lambda a: _run(
+        "collapse_summary_table", a.table_file, a.output_prefix + ".txt",
+        a.columns.split(",")))
+
+
+def _run(name, *fn_args):
+    from . import scripts
+
+    result = getattr(scripts, name)(*fn_args)
+    print(f"{name}: {result}")
+    return 0
+
+
 def _cmd_combine(args):
     from .combine import combine
 

@@ -63,6 +63,9 @@ def _simulate_clusters(rng):
 
 
 def main():
+    from bayestyper_tpu.utils import jaxenv
+
+    jaxenv.setup()
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,190 @@
+// btnative — native host kernels for bayestyper_tpu.
+//
+// The reference implements its host hot loops in C++ (rolling KmerPair
+// updates Kmer.tpp, KMC record decode kmc_api/kmc_file.cpp, HybridHash
+// lookups). This library provides the TPU-era equivalents behind a plain C
+// ABI consumed via ctypes: canonical k-mer lane extraction, sorted lane-pair
+// table lookup, KMC suffix-record decoding, and bloom filter batch ops.
+// numpy fallbacks exist for every entry point; this library is the fast
+// path for genome-scale inputs.
+//
+// Build: c++ -O3 -march=native -shared -fPIC -o libbtnative.so btnative.cpp
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// --- canonical k-mer lane extraction -----------------------------------
+//
+// codes: 2-bit base codes (0..3), valid: 1 where the base was ACGT.
+// Emits, for every window of k bases, the canonical (min of forward and
+// reverse complement) value split into two uint64 lanes:
+//   hi = bases[0:min(27,k)] big-endian, lo = remaining bases.
+// Rolling update: forward lanes shift left, rc lanes shift right — one pass.
+void bt_kmer_lanes(const uint8_t* codes, const uint8_t* valid, int64_t n,
+                   int32_t k, uint64_t* hi, uint64_t* lo, uint8_t* ok) {
+    if (n < k) return;
+    const int32_t n_hi = k < 27 ? k : 27;
+    const int32_t n_lo = k - n_hi;
+    const uint64_t hi_mask = (n_hi == 32) ? ~0ULL : ((1ULL << (2 * n_hi)) - 1);
+    const uint64_t lo_mask = (n_lo == 0) ? 0 : ((1ULL << (2 * n_lo)) - 1);
+
+    // forward value as one 128-bit quantity split at bit 2*n_lo:
+    //   f_hi = value of first n_hi bases, f_lo = value of last n_lo bases
+    // rolling append of base b:
+    //   carry = top base of f_lo (or b if n_lo == 0)
+    //   f_hi = ((f_hi << 2) | carry) & hi_mask
+    //   f_lo = ((f_lo << 2) | b) & lo_mask
+    // reverse complement lanes roll in the opposite direction:
+    //   rc value = sum_j (3-b[i+j]) * 4^j  split as
+    //   r_hi = rc bases [n_lo, k) little-endian -> occupies rc_hi lane
+    // Maintain rc as two lanes shifted right on append:
+    //   r_lo' = (r_lo >> 2) | (bottom of r_hi) << (2*(n_lo-1))
+    //   r_hi' = (r_hi >> 2) | (3-b) << (2*(n_hi-1))
+    uint64_t f_hi = 0, f_lo = 0, r_hi = 0, r_lo = 0;
+    int32_t run = 0;  // number of consecutive valid bases ending here
+
+    for (int64_t i = 0; i < n; ++i) {
+        const uint64_t b = codes[i];
+        if (valid[i]) {
+            ++run;
+        } else {
+            run = 0;
+        }
+        // forward roll
+        uint64_t carry;
+        if (n_lo > 0) {
+            carry = (f_lo >> (2 * (n_lo - 1))) & 3ULL;
+            f_lo = ((f_lo << 2) | b) & lo_mask;
+        } else {
+            carry = b;
+        }
+        f_hi = ((f_hi << 2) | carry) & hi_mask;
+        // reverse-complement roll
+        const uint64_t cb = 3ULL - b;
+        if (n_lo > 0) {
+            const uint64_t rc_carry = r_hi & 3ULL;
+            r_lo = (r_lo >> 2) | (rc_carry << (2 * (n_lo - 1)));
+        }
+        r_hi = (r_hi >> 2) | (cb << (2 * (n_hi - 1)));
+
+        const int64_t w = i - k + 1;  // window start index
+        if (w >= 0) {
+            const bool is_ok = run >= k;
+            ok[w] = is_ok;
+            if (is_ok) {
+                const bool fwd = (f_hi < r_hi) || (f_hi == r_hi && f_lo <= r_lo);
+                hi[w] = fwd ? f_hi : r_hi;
+                lo[w] = fwd ? f_lo : r_lo;
+            } else {
+                hi[w] = 0;
+                lo[w] = 0;
+            }
+        }
+    }
+}
+
+// --- sorted lane-pair table lookup --------------------------------------
+//
+// Table sorted by (hi, lo). out[i] = index of query i, or -1.
+void bt_lane_lookup(const uint64_t* thi, const uint64_t* tlo, int64_t tn,
+                    const uint64_t* qhi, const uint64_t* qlo, int64_t qn,
+                    int64_t* out) {
+    for (int64_t i = 0; i < qn; ++i) {
+        const uint64_t h = qhi[i], l = qlo[i];
+        int64_t lo_i = 0, hi_i = tn;
+        while (lo_i < hi_i) {
+            const int64_t mid = (lo_i + hi_i) >> 1;
+            if (thi[mid] < h || (thi[mid] == h && tlo[mid] < l)) {
+                lo_i = mid + 1;
+            } else {
+                hi_i = mid;
+            }
+        }
+        out[i] = (lo_i < tn && thi[lo_i] == h && tlo[lo_i] == l) ? lo_i : -1;
+    }
+}
+
+// --- KMC suffix-record decode -------------------------------------------
+//
+// records: n contiguous records of (sufix_bytes + counter_bytes); prefixes:
+// per-record prefix values (lut_len bases). Emits big-endian lane pairs and
+// counters. Layout per ReadNextKmer (kmc_api/kmc_file.cpp): suffix bytes
+// hold 4 bases each, first base in the 2 MSBs; counter little-endian.
+void bt_kmc_decode(const uint8_t* records, int64_t n, int32_t rec_size,
+                   int32_t sufix_bytes, int32_t counter_bytes,
+                   const uint64_t* prefixes, int32_t lut_len, int32_t k,
+                   uint64_t* hi, uint64_t* lo, uint64_t* counts) {
+    const int32_t n_hi = k < 27 ? k : 27;
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* rec = records + r * rec_size;
+        uint64_t h = 0, l = 0;
+        int32_t base_idx = 0;
+        // prefix bases (big-endian within the prefix value)
+        for (int32_t j = 0; j < lut_len; ++j) {
+            const uint64_t b = (prefixes[r] >> (2 * (lut_len - 1 - j))) & 3ULL;
+            if (base_idx < n_hi) h = (h << 2) | b; else l = (l << 2) | b;
+            ++base_idx;
+        }
+        for (int32_t sb = 0; sb < sufix_bytes; ++sb) {
+            const uint8_t byte = rec[sb];
+            for (int32_t q = 3; q >= 0; --q) {
+                if (base_idx >= k) break;
+                const uint64_t b = (byte >> (2 * q)) & 3ULL;
+                if (base_idx < n_hi) h = (h << 2) | b; else l = (l << 2) | b;
+                ++base_idx;
+            }
+        }
+        uint64_t c = 0;
+        for (int32_t cb = 0; cb < counter_bytes; ++cb) {
+            c |= static_cast<uint64_t>(rec[sufix_bytes + cb]) << (8 * cb);
+        }
+        hi[r] = h;
+        lo[r] = l;
+        counts[r] = c;
+    }
+}
+
+// --- bloom filter batch ops ---------------------------------------------
+//
+// splitmix64 finaliser; must match ops/kmers.py mix64 exactly.
+static inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 30; x *= 0xFF51AFD7ED558CCDULL;
+    x ^= x >> 27; x *= 0xC4CEB9FE1A85EC53ULL;
+    x ^= x >> 31;
+    return x;
+}
+
+void bt_bloom_insert(uint64_t* bits, uint64_t num_bits, int32_t num_hashes,
+                     const uint64_t* hi, const uint64_t* lo, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t h1 = mix64(hi[i] ^ mix64(lo[i] + 0x9E3779B97F4A7C15ULL));
+        uint64_t h2 = mix64(h1 ^ 0xC4CEB9FE1A85EC53ULL) | 1ULL;
+        uint64_t h = h1;
+        for (int32_t j = 0; j < num_hashes; ++j) {
+            const uint64_t idx = h % num_bits;
+            bits[idx >> 6] |= 1ULL << (idx & 63);
+            h += h2;
+        }
+    }
+}
+
+void bt_bloom_query(const uint64_t* bits, uint64_t num_bits,
+                    int32_t num_hashes, const uint64_t* hi,
+                    const uint64_t* lo, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t h1 = mix64(hi[i] ^ mix64(lo[i] + 0x9E3779B97F4A7C15ULL));
+        uint64_t h2 = mix64(h1 ^ 0xC4CEB9FE1A85EC53ULL) | 1ULL;
+        uint64_t h = h1;
+        uint8_t present = 1;
+        for (int32_t j = 0; j < num_hashes && present; ++j) {
+            const uint64_t idx = h % num_bits;
+            present = (bits[idx >> 6] >> (idx & 63)) & 1ULL;
+            h += h2;
+        }
+        out[i] = present;
+    }
+}
+
+}  // extern "C"

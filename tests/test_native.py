@@ -1,0 +1,68 @@
+"""Native C++ kernels must agree bit-for-bit with the numpy implementations."""
+
+import numpy as np
+import pytest
+
+from bayestyper_tpu import native
+from bayestyper_tpu.ops.bloom import KmerBloomFilter
+from bayestyper_tpu.ops.kmers import encode_bases, kmer_lanes
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no compiler)"
+)
+
+
+@pytest.mark.parametrize("k", [21, 27, 31, 55])
+def test_native_kmer_lanes_match_numpy(k):
+    rng = np.random.default_rng(4)
+    seq = "".join(rng.choice(list("ACGT"), 3000))
+    seq = seq[:100] + "N" + seq[101:]
+    codes, valid = encode_bases(seq.encode())
+    hi1, lo1, ok1 = kmer_lanes(codes, valid, k)
+    hi2, lo2, ok2 = native.kmer_lanes(codes, valid, k)
+    np.testing.assert_array_equal(ok1, ok2)
+    np.testing.assert_array_equal(hi1[ok1], hi2[ok2])
+    np.testing.assert_array_equal(lo1[ok1], lo2[ok2])
+
+
+def test_native_lane_lookup():
+    rng = np.random.default_rng(5)
+    hi = np.sort(rng.integers(0, 1 << 54, 1000, dtype=np.uint64))
+    lo = rng.integers(0, 1 << 56, 1000, dtype=np.uint64)
+    order = np.lexsort((lo, hi))
+    hi, lo = hi[order], lo[order]
+    idx = native.lane_lookup(hi, lo, hi[::7], lo[::7])
+    np.testing.assert_array_equal(idx, np.arange(1000)[::7])
+    # absent keys -> -1
+    miss = native.lane_lookup(hi, lo, hi[:5], lo[:5] ^ np.uint64(1))
+    assert (miss == -1).all()
+
+
+def test_native_bloom_matches_numpy():
+    rng = np.random.default_rng(6)
+    hi = rng.integers(0, 1 << 54, 5000, dtype=np.uint64)
+    lo = rng.integers(0, 1 << 56, 5000, dtype=np.uint64)
+    bf_np = KmerBloomFilter.with_optimal_parameters(5000, 0.001)
+    bf_na = KmerBloomFilter.with_optimal_parameters(5000, 0.001)
+    bf_np.add(hi, lo)
+    native.bloom_insert(bf_na.bits, bf_na.num_bits, bf_na.num_hashes, hi, lo)
+    np.testing.assert_array_equal(bf_np.bits, bf_na.bits)
+    q = native.bloom_query(bf_na.bits, bf_na.num_bits, bf_na.num_hashes, hi, lo)
+    assert q.all()
+
+
+def test_native_speedup():
+    rng = np.random.default_rng(7)
+    seq = "".join(rng.choice(list("ACGT"), 2_000_000)).encode()
+    codes, valid = encode_bases(seq)
+    import time
+
+    t0 = time.perf_counter()
+    hi1, lo1, ok1 = kmer_lanes(codes, valid, 55)
+    t_np = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hi2, lo2, ok2 = native.kmer_lanes(codes, valid, 55)
+    t_na = time.perf_counter() - t0
+    np.testing.assert_array_equal(hi1, hi2)
+    print(f"numpy {t_np:.3f}s native {t_na:.3f}s ({t_np / t_na:.1f}x)")
+    assert t_na < t_np * 2  # native should not be slower
