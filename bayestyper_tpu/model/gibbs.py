@@ -189,6 +189,7 @@ def compute_log_likelihoods(
             r.reshape(c, num_chains * s, k),
             e,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return ll + contrib.reshape(c, num_chains, s, o)
 
@@ -201,6 +202,7 @@ def compute_log_likelihoods(
     over = jnp.einsum(
         "cxk,cko->cxo", r.reshape(c, num_chains * s, k), e_over,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(c, num_chains, s, o)
     ll = ll + over
 
