@@ -254,9 +254,9 @@ def compute_noise_terms(bucket: ClusterBucket, outcomes: OutcomeSpace, w):
 
 
 def _sample_outcomes(key, logits):
-    s = logits.shape[0]
-    keys = jax.random.split(key, s)
-    return jax.vmap(log_categorical)(keys, logits)
+    # one batched Gumbel draw for all samples (independent per (s, o))
+    g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
+    return jnp.argmax(logits + g, axis=-1)
 
 
 def _gibbs_iteration(key, freqs, ll, ploidy, hap_valid, sparsity, use_sparse, osp):
@@ -274,8 +274,12 @@ def _gibbs_iteration(key, freqs, ll, ploidy, hap_valid, sparsity, use_sparse, os
     logits = jnp.where(valid, prior[None, :] + ll, NEG_INF)
     o_sel = _sample_outcomes(k_cat, logits)
 
-    both = jnp.concatenate([oa[o_sel], ob[o_sel]])
-    hap_counts = jnp.zeros(h + 1, jnp.int32).at[both].add(1)[:h]
+    # haplotype observation counts via one-hot sums (a scatter-add here would
+    # serialize on TPU and dominates the whole Gibbs iteration)
+    both = jnp.concatenate([oa[o_sel], ob[o_sel]])          # [2S]
+    hap_counts = jnp.sum(
+        both[:, None] == jnp.arange(h, dtype=both.dtype)[None, :], axis=0
+    ).astype(jnp.int32)                                      # [H]
     n_total = jnp.sum(hap_counts)
 
     new_freqs = sample_frequencies(k_freq, hap_counts, hap_valid, sparsity, use_sparse)
@@ -378,11 +382,11 @@ def genotype_bucket(base_key, bucket: ClusterBucket, tables, outcomes: OutcomeSp
 
 
 @functools.partial(
-    jax.jit, static_argnames=("outcomes", "cfg", "chain_idx", "axis_name")
+    jax.jit, static_argnames=("outcomes", "cfg", "axis_name")
 )
 def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
                 noise_prior, outcomes: OutcomeSpace, cfg: GibbsConfig,
-                chain_idx: int, axis_name: str | None = None):
+                chain_idx, axis_name: str | None = None):
     """One sequential noise-estimation chain over a bucket of single-cluster
     groups (estimateNoise, InferenceEngine.cpp:135-276).
 
@@ -411,7 +415,7 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
     prior_shape, prior_scale = noise_prior
 
     k_sub, k_chain, k_noise = jax.random.split(
-        jax.random.fold_in(base_key, chain_idx), 3
+        jax.random.fold_in(base_key, jnp.uint32(chain_idx)), 3
     )
     w = subsample_masks(k_sub, bucket.kmer_valid, 1, cfg.kmer_subsampling_rate)
 
@@ -470,9 +474,10 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
 
         k_it = jax.random.fold_in(k_noise, t.astype(jnp.uint32))
         # conjugate gamma update (sampleNoiseParameters, CountDistribution.cpp:173-186)
+        from ..ops.sampling import fixed_round_gamma
         shape = prior_shape + count_sum
         scale = prior_scale / (num_obs * prior_scale + 1.0)
-        new_rates = jax.random.gamma(k_it, shape) * scale
+        new_rates = fixed_round_gamma(k_it, shape) * scale
 
         collect = (t >= cfg.burn_in).astype(jnp.float32)
         return (new_freqs, new_rates), (new_rates, collect)
@@ -485,11 +490,11 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("outcomes", "cfg", "chain_idx", "axis_name")
+    jax.jit, static_argnames=("outcomes", "cfg", "axis_name")
 )
 def joint_chain(base_key, bucket: ClusterBucket, tables, init_rates,
                 noise_prior, outcomes: OutcomeSpace, cfg: GibbsConfig,
-                chain_idx: int, axis_name: str | None = None):
+                chain_idx, axis_name: str | None = None):
     """One joint noise+genotyping chain (--noise-genotyping,
     estimateNoiseAndGenotypes InferenceEngine.cpp:384-472): like noise_chain
     but over ALL clusters, collecting post-burn-in outcome tallies for
@@ -504,7 +509,7 @@ def joint_chain(base_key, bucket: ClusterBucket, tables, init_rates,
     prior_shape, prior_scale = noise_prior
 
     k_sub, k_chain, k_noise = jax.random.split(
-        jax.random.fold_in(base_key, chain_idx), 3
+        jax.random.fold_in(base_key, jnp.uint32(chain_idx)), 3
     )
     w = subsample_masks(k_sub, bucket.kmer_valid, 1, cfg.kmer_subsampling_rate)
 
@@ -557,9 +562,10 @@ def joint_chain(base_key, bucket: ClusterBucket, tables, init_rates,
             num_obs = jax.lax.psum(num_obs, axis_name)
 
         k_it = jax.random.fold_in(k_noise, t.astype(jnp.uint32))
+        from ..ops.sampling import fixed_round_gamma
         shape = prior_shape + count_sum
         scale = prior_scale / (num_obs * prior_scale + 1.0)
-        new_rates = jax.random.gamma(k_it, shape) * scale
+        new_rates = fixed_round_gamma(k_it, shape) * scale
 
         collect = (t >= cfg.burn_in).astype(jnp.int32)
         onehot = (

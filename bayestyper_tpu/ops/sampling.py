@@ -32,6 +32,43 @@ from ..constants import DIRICHLET_PARAMETER
 NEG_INF = -1e30  # finite stand-in for -inf so masked logits never produce NaN
 
 
+def fixed_round_gamma(key, alpha, rounds: int = 6):
+    """Gamma(alpha, 1) sampling via Marsaglia-Tsang with a FIXED number of
+    rejection rounds (masked select of the first acceptance) instead of
+    jax.random.gamma's data-dependent while_loop — the while_loop under
+    vmap-inside-scan dominates XLA compile time of the Gibbs programs and
+    runs masked-iteration slow on TPU. Acceptance per round is >96%, so
+    `rounds=6` fails with probability < 1e-8; failures fall back to the
+    distribution mean. alpha < 1 uses the standard boost
+    gamma(a) = gamma(a+1) * U^(1/a).
+    """
+    alpha = jnp.asarray(alpha, jnp.float32)
+    k_boost, k_norm, k_unif = jax.random.split(key, 3)
+
+    a_eff = jnp.where(alpha < 1.0, alpha + 1.0, alpha)
+    d = a_eff - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+
+    xs = jax.random.normal(k_norm, (rounds,) + alpha.shape)
+    us = jax.random.uniform(k_unif, (rounds,) + alpha.shape, minval=1e-12)
+    v = (1.0 + c[None] * xs) ** 3
+    ok = (v > 0) & (
+        jnp.log(us) < 0.5 * xs * xs + d[None] - d[None] * v
+        + d[None] * jnp.log(jnp.where(v > 0, v, 1.0))
+    )
+    # first accepted round per element
+    first = jnp.argmax(ok, axis=0)
+    any_ok = ok.any(axis=0)
+    dv = d[None] * v
+    sample = jnp.take_along_axis(dv, first[None], axis=0)[0]
+    sample = jnp.where(any_ok, sample, a_eff)  # mean fallback (p < 1e-8)
+
+    boost = jax.random.uniform(k_boost, alpha.shape, minval=1e-12) ** (
+        1.0 / jnp.maximum(alpha, 1e-12)
+    )
+    return jnp.where(alpha < 1.0, sample * boost, sample)
+
+
 def log_categorical(key, log_probs, axis=-1):
     """Sample from an unnormalised log-probability vector via Gumbel-max.
 
@@ -50,7 +87,7 @@ def dirichlet_from_counts(key, counts, valid_mask, alpha=DIRICHLET_PARAMETER):
     normalised. Entries with valid_mask=False get frequency 0.
     """
     a = jnp.where(valid_mask, counts.astype(jnp.float32) + alpha, 1.0)
-    g = jax.random.gamma(key, a) * valid_mask
+    g = fixed_round_gamma(key, a) * valid_mask
     total = jnp.sum(g, axis=-1, keepdims=True)
     return g / jnp.maximum(total, 1e-30)
 
@@ -122,7 +159,7 @@ def sample_sparse_frequencies(
 
     active = plus_mask | expand_mask
     a = jnp.where(active, counts.astype(jnp.float32) + alpha, 1.0)
-    gam = jax.random.gamma(k_gam, a) * active
+    gam = fixed_round_gamma(k_gam, a) * active
     total = jnp.sum(gam)
     return gam / jnp.maximum(total, 1e-30)
 
@@ -135,12 +172,36 @@ def sample_frequencies(key, counts, valid_mask, sparsity, use_sparse, alpha=DIRI
     (HaplotypeFrequencyDistribution.cpp:76-88). If no haplotype was observed
     this iteration the frequencies are left unchanged by the caller
     (HaplotypeFrequencyDistribution.cpp:130-134) — callers guard on that.
+
+    The two branches share one gamma draw (the dense case is the sparse case
+    with every valid haplotype active) — this runs inside the per-iteration
+    Gibbs scan, so one gamma instead of two matters.
     """
-    sparse = sample_sparse_frequencies(key, counts, valid_mask, sparsity, alpha)
-    dense = dirichlet_from_counts(key, counts, valid_mask, alpha)
-    return jnp.where(use_sparse, sparse, dense)
+    h = counts.shape[-1]
+    k_size, k_sel, k_gam = jax.random.split(key, 3)
+
+    counts = jnp.where(valid_mask, counts, 0)
+    plus_mask = counts > 0
+    n_plus = jnp.sum(plus_mask)
+    n_total = jnp.sum(counts)
+    n_valid = jnp.sum(valid_mask)
+
+    logp = _simplex_size_log_probs(n_plus, n_total, n_valid, h, sparsity, alpha)
+    n_expand = log_categorical(k_size, logp)
+
+    elig = valid_mask & ~plus_mask
+    g = jax.random.uniform(k_sel, (h,))
+    g = jnp.where(elig, g, -1.0)
+    rank = jnp.sum(g[None, :] > g[:, None], axis=-1)
+    expand_mask = elig & (rank < n_expand)
+
+    active = jnp.where(use_sparse, plus_mask | expand_mask, valid_mask)
+    a = jnp.where(active, counts.astype(jnp.float32) + alpha, 1.0)
+    gam = fixed_round_gamma(k_gam, a) * active
+    total = jnp.sum(gam)
+    return gam / jnp.maximum(total, 1e-30)
 
 
 def sample_gamma(key, shape, scale):
     """Gamma(shape, scale) draw (CountDistribution.cpp:202-213)."""
-    return jax.random.gamma(key, shape) * scale
+    return fixed_round_gamma(key, shape) * scale

@@ -107,6 +107,72 @@ def register_scripts(sub):
         "collapse_summary_table", a.table_file, a.output_prefix + ".txt",
         a.columns.split(",")))
 
+    p = sub.add_parser("getKmerStats", help="per-allele kmer support vs a KMC table")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-k", "--kmer-table-prefix", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.set_defaults(func=lambda a: _run(
+        "get_kmer_stats", a.vcf_file, a.kmer_table_prefix,
+        a.output_prefix + ".txt"))
+
+    p = sub.add_parser("convertSeqToAlleleId", help="long alleles -> symbolic IDs + fasta")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("--min-length", type=int, default=10)
+    p.set_defaults(func=lambda a: _run(
+        "convert_seq_to_allele_id", a.vcf_file, a.output_prefix, a.min_length))
+
+    p = sub.add_parser("generateDiplotypes", help="per-sample haplotype fastas from genotypes")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-g", "--genome-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.set_defaults(func=_cmd_generate_diplotypes)
+
+    p = sub.add_parser("convertNestedGenotypes", help="missing-allele genotypes -> './.'")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.set_defaults(func=lambda a: _run(
+        "convert_nested_genotypes", a.vcf_file, a.output_prefix + ".vcf"))
+
+    p = sub.add_parser("addEditDistanceAndCondordance",
+                       help="annotate calls with edit distance/concordance vs a truth VCF")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-t", "--truth-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("--window", type=int, default=50)
+    p.set_defaults(func=lambda a: _run(
+        "add_edit_distance_and_concordance", a.vcf_file, a.truth_file,
+        a.output_prefix + ".vcf", a.window))
+
+    p = sub.add_parser("assessHaplotypeTransmissionSupport",
+                       help="trio transmission support summary")
+    p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("--trio-info", required=True,
+                   help="comma-separated trios <child>:<father>:<mother>")
+    p.set_defaults(func=_cmd_transmission)
+
+
+def _cmd_generate_diplotypes(args):
+    from . import scripts
+    from ..io.fasta import Genome
+
+    genome = Genome.load(args.genome_file)
+    n = scripts.generate_diplotypes(args.vcf_file, genome, args.output_prefix)
+    print(f"generate_diplotypes: wrote {n} haplotype fastas")
+    return 0
+
+
+def _cmd_transmission(args):
+    from . import scripts
+
+    trios = [tuple(t.split(":")) for t in args.trio_info.split(",")]
+    stats = scripts.assess_haplotype_transmission_support(
+        args.vcf_file, args.output_prefix + ".txt", trios
+    )
+    print(f"assess_haplotype_transmission_support: {stats}")
+    return 0
+
 
 def _run(name, *fn_args):
     from . import scripts

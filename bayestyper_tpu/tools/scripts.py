@@ -196,3 +196,244 @@ def collapse_summary_table(table_path: str, out_path: str, columns: list):
         for key, count in sorted(counts.items()):
             fh.write(f"{count}\t" + "\t".join(key) + "\n")
     return len(counts)
+
+
+def get_kmer_stats(vcf_path: str, kmc_prefix: str, out_path: str,
+                   kmer_size: int | None = None):
+    """Per-allele k-mer support against a KMC table (getKmerStats.cpp):
+    for each alt allele, the fraction of its (flank-free) k-mers present in
+    the sample's count table and their mean count."""
+    import numpy as np
+
+    from ..io.kmc import KmcReader
+    from ..ops.kmers import encode_bases, kmer_lanes
+    from ..engine import LaneTable
+
+    reader_kmc = KmcReader(kmc_prefix)
+    k = kmer_size or reader_kmc.kmer_size if hasattr(reader_kmc, "kmer_size") \
+        else reader_kmc.info.kmer_length
+    k = reader_kmc.info.kmer_length
+    all_hi, all_lo, all_counts = [], [], []
+    for hi, lo, cnt in reader_kmc.batches():
+        all_hi.append(hi)
+        all_lo.append(lo)
+        all_counts.append(cnt)
+    table = LaneTable(np.concatenate(all_hi), np.concatenate(all_lo))
+    counts = np.concatenate(all_counts)[
+        np.lexsort((np.concatenate(all_lo), np.concatenate(all_hi)))
+    ]
+
+    n = 0
+    with open(out_path, "w") as out:
+        out.write("Chrom\tPos\tAllele\tNumKmers\tFracPresent\tMeanCount\n")
+        vreader = VcfReader(vcf_path)
+        for v in vreader:
+            for ai, alt in enumerate(v.alts):
+                if alt.startswith("<"):
+                    continue
+                codes, valid = encode_bases(alt.encode())
+                hi, lo, ok = kmer_lanes(codes, valid, k)
+                hi, lo = hi[ok], lo[ok]
+                if not len(hi):
+                    out.write(f"{v.chrom}\t{v.pos}\t{ai + 1}\t0\t-1\t-1\n")
+                    continue
+                idx = table.lookup(hi, lo)
+                present = idx >= 0
+                mean_count = (
+                    counts[idx[present]].mean() if present.any() else -1
+                )
+                out.write(
+                    f"{v.chrom}\t{v.pos}\t{ai + 1}\t{len(hi)}\t"
+                    f"{present.mean():.4g}\t{mean_count:.4g}\n"
+                )
+                n += 1
+    return n
+
+
+def convert_seq_to_allele_id(vcf_path: str, out_prefix: str,
+                             min_length: int = 10):
+    """Replace long allele sequences with symbolic IDs + a sidecar fasta
+    (convertSeqToAlleleId.cpp)."""
+    reader = VcfReader(vcf_path, parse_samples=True)
+    writer = VcfWriter(out_prefix + ".vcf", reader.meta)
+    n = 0
+    with open(out_prefix + "_alleles.fa", "w") as fa:
+        for v in reader:
+            new_alts = []
+            for ai, alt in enumerate(v.alts):
+                if not alt.startswith("<") and len(alt) >= min_length:
+                    name = f"{v.chrom}_{v.pos}_{ai}"
+                    fa.write(f">{name}\n{alt}\n")
+                    new_alts.append(f"<{name}>")
+                    n += 1
+                else:
+                    new_alts.append(alt)
+            v.alts = new_alts
+            writer.write(v)
+    writer.close()
+    return n
+
+
+def generate_diplotypes(vcf_path: str, genome, out_prefix: str,
+                        sample_names=None):
+    """Reconstruct per-sample haplotype sequences from called genotypes
+    (generateDiplotypes.cpp): applies each sample's phased-or-unphased GT
+    alleles to the reference, writing <prefix>_<sample>_h{1,2}.fa."""
+    reader = VcfReader(vcf_path, parse_samples=True)
+    names = sample_names or reader.meta.samples
+    events = {name: ([], []) for name in names}
+    contigs = [c for c, _ in reader.meta.contigs] or list(genome.names)
+
+    for v in reader:
+        for si, name in enumerate(reader.meta.samples):
+            if name not in events or si >= len(v.samples):
+                continue
+            gt = v.samples[si].get("GT", ".")
+            if "." in gt or gt == "":
+                continue
+            alleles = [int(x) for x in gt.replace("|", "/").split("/")]
+            seqs = [v.ref] + v.alts
+            for hap_idx, a in enumerate(alleles[:2]):
+                if a > 0 and not seqs[a].startswith("<"):
+                    events[name][hap_idx].append(
+                        (v.chrom, v.pos - 1, v.ref, seqs[a])
+                    )
+
+    written = 0
+    for name in names:
+        for hap_idx in (0, 1):
+            path = f"{out_prefix}_{name}_h{hap_idx + 1}.fa"
+            with open(path, "w") as fh:
+                for chrom in contigs:
+                    if chrom not in genome:
+                        continue
+                    seq = genome[chrom].decode()
+                    out = []
+                    cursor = 0
+                    for c, pos, ref, alt in sorted(
+                        [e for e in events[name][hap_idx] if e[0] == chrom],
+                        key=lambda e: e[1],
+                    ):
+                        if pos < cursor:
+                            continue  # overlapping call: keep the first
+                        out.append(seq[cursor:pos])
+                        out.append(alt)
+                        cursor = pos + len(ref)
+                    out.append(seq[cursor:])
+                    full = "".join(out)
+                    fh.write(f">{chrom}\n")
+                    for i in range(0, len(full), 80):
+                        fh.write(full[i : i + 80] + "\n")
+            written += 1
+    return written
+
+
+def convert_nested_genotypes(vcf_path: str, out_path: str):
+    """Re-express genotypes that reference the `*` missing allele as missing
+    calls (convertNestedGenotypes.cpp simplification): downstream tools that
+    cannot handle `*` get './.' style calls instead."""
+    reader = VcfReader(vcf_path, parse_samples=True)
+    writer = VcfWriter(out_path, reader.meta)
+    n = 0
+    for v in reader:
+        star = None
+        for ai, alt in enumerate(v.alts):
+            if alt == "*":
+                star = ai + 1
+        if star is not None:
+            for s in v.samples:
+                gt = s.get("GT", ".")
+                sep = "|" if "|" in gt else "/"
+                parts = gt.split(sep)
+                if str(star) in parts:
+                    s["GT"] = sep.join("." for _ in parts)
+                    n += 1
+        writer.write(v)
+    writer.close()
+    return n
+
+
+def add_edit_distance_and_concordance(vcf_path: str, truth_path: str,
+                                      out_path: str, window: int = 50):
+    """Evaluation: annotate each call with the edit distance to the nearest
+    truth allele (WED) and genotype concordance when positions match (GTCO)
+    — the core of addEditDistanceAndCondordance.cpp."""
+    from ..ops.edit_distance import edit_distance
+    from collections import defaultdict as _dd
+    import bisect
+
+    truth = _dd(list)
+    truth_reader = VcfReader(truth_path, parse_samples=True)
+    for v in truth_reader:
+        truth[v.chrom].append((v.pos, v.ref, v.alts,
+                               [s.get("GT", ".") for s in v.samples]))
+    for chrom in truth:
+        truth[chrom].sort()
+    keys = {chrom: [t[0] for t in truth[chrom]] for chrom in truth}
+
+    reader = VcfReader(vcf_path, parse_samples=True)
+    meta = reader.meta
+    meta.add_info("WED", "A", "Integer",
+                  "Minimum edit distance to a nearby truth allele")
+    meta.add_info("GTCO", "1", "String",
+                  "Genotype concordance with position-matched truth (T/F/.)")
+    writer = VcfWriter(out_path, meta)
+    n = 0
+    for v in reader:
+        tl = truth.get(v.chrom, [])
+        ks = keys.get(v.chrom, [])
+        lo = bisect.bisect_left(ks, v.pos - window)
+        hi = bisect.bisect_right(ks, v.pos + window)
+        weds = []
+        gtco = "."
+        for alt in v.alts:
+            best = -1
+            for (tpos, tref, talts, tgts) in tl[lo:hi]:
+                for talt in talts:
+                    if talt.startswith("<"):
+                        continue
+                    d = edit_distance(alt, talt) + abs(tpos - v.pos)
+                    best = d if best < 0 else min(best, d)
+                if tpos == v.pos and tref == v.ref:
+                    call_gts = [s.get("GT", ".") for s in v.samples]
+                    norm = lambda g: tuple(sorted(g.replace("|", "/").split("/")))
+                    gtco = "T" if [norm(a) for a in call_gts] == \
+                        [norm(b) for b in tgts] else "F"
+            weds.append(best)
+        v.info["WED"] = ",".join(str(x) for x in weds) if weds else "."
+        v.info["GTCO"] = gtco
+        writer.write(v)
+        n += 1
+    writer.close()
+    return n
+
+
+def assess_haplotype_transmission_support(vcf_path: str, out_path: str,
+                                          trios=None):
+    """Trio transmission support (assessHaplotypeTransmissionSupport.cpp
+    essence): per trio, the fraction of fully-called variants whose child
+    genotype is Mendelian-consistent with the parents; writes a TSV."""
+    from .add_attributes import _parse_gt, trio_concordant
+
+    reader = VcfReader(vcf_path, parse_samples=True)
+    name_to_idx = {n: i for i, n in enumerate(reader.meta.samples)}
+    trios = trios or []
+    stats = {t: [0, 0] for t in trios}  # concordant, total
+    for v in reader:
+        for t in trios:
+            child, father, mother = t
+            idx = [name_to_idx.get(x) for x in (child, father, mother)]
+            if any(i is None for i in idx):
+                continue
+            gts = [_parse_gt(v.samples[i]) for i in idx]
+            conc = trio_concordant(*gts)
+            if conc is None:
+                continue
+            stats[t][1] += 1
+            stats[t][0] += int(conc)
+    with open(out_path, "w") as fh:
+        fh.write("Child\tFather\tMother\tConcordant\tTotal\tFraction\n")
+        for (c, f, m), (conc, total) in stats.items():
+            frac = conc / total if total else -1
+            fh.write(f"{c}\t{f}\t{m}\t{conc}\t{total}\t{frac:.4g}\n")
+    return stats

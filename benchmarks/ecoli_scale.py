@@ -34,6 +34,9 @@ def main():
     )
     from bayestyper_tpu.io.samples import ChromosomePloidy
     from bayestyper_tpu.io.vcf import VcfReader
+    from bayestyper_tpu.utils import jaxenv
+
+    jaxenv.setup()
 
     rng = np.random.default_rng(42)
     workdir = Path(args.workdir or tempfile.mkdtemp(prefix="ecoli_bench_"))

@@ -84,3 +84,16 @@ def test_sparse_size_distribution_sanity():
     )
     mean_active = (draws > 0).sum(axis=1).mean()
     assert mean_active > 6.5, mean_active
+
+
+def test_fixed_round_gamma_moments():
+    from bayestyper_tpu.ops.sampling import fixed_round_gamma
+
+    for alpha in (0.5, 1.0, 3.0, 17.5):
+        keys = jax.random.split(jax.random.PRNGKey(int(alpha * 10)), 4000)
+        draws = np.asarray(
+            jax.vmap(lambda k: fixed_round_gamma(k, jnp.full((4,), alpha)))(keys)
+        ).ravel()
+        assert np.all(draws > 0)
+        np.testing.assert_allclose(draws.mean(), alpha, rtol=0.05)
+        np.testing.assert_allclose(draws.var(), alpha, rtol=0.12)

@@ -92,3 +92,119 @@ def test_collapse_summary_table(tmp_path):
     assert n == 2
     body = open(out).read()
     assert "7\tx" in body and "5\ty" in body
+
+
+def test_convert_seq_to_allele_id(tmp_path):
+    from bayestyper_tpu.tools.scripts import convert_seq_to_allele_id
+
+    src = _write(tmp_path / "v.vcf", [
+        _var(100, "A", ["ACCGGTTACCGGTT"]),
+        _var(200, "A", ["C"]),
+    ])
+    n = convert_seq_to_allele_id(src, str(tmp_path / "sym"), min_length=10)
+    assert n == 1
+    from bayestyper_tpu.io.vcf import read_all
+
+    _, variants = read_all(str(tmp_path / "sym.vcf"))
+    assert variants[0].alts == ["<chr1_100_0>"]
+    assert variants[1].alts == ["C"]
+    fa = open(str(tmp_path / "sym_alleles.fa")).read()
+    assert "ACCGGTTACCGGTT" in fa
+
+
+def test_generate_diplotypes(tmp_path):
+    from bayestyper_tpu.io.fasta import Genome
+    from bayestyper_tpu.io.vcf import VcfMeta, VcfVariant, VcfWriter
+    from bayestyper_tpu.tools.scripts import generate_diplotypes
+
+    g = Genome()
+    g.names = ["chr1"]
+    g.sequences["chr1"] = b"AAAACCCCGGGGTTTT"
+    meta = VcfMeta()
+    meta.contigs = [("chr1", 16)]
+    meta.samples = ["s0"]
+    path = str(tmp_path / "g.vcf")
+    with VcfWriter(path, meta) as w:
+        w.write(VcfVariant("chr1", 5, [], "C", ["T"], None, [], {},
+                           ["GT"], [{"GT": "0/1"}]))
+    n = generate_diplotypes(path, g, str(tmp_path / "dip"))
+    assert n == 2
+    h1 = open(str(tmp_path / "dip_s0_h1.fa")).read().splitlines()[1]
+    h2 = open(str(tmp_path / "dip_s0_h2.fa")).read().splitlines()[1]
+    assert {h1, h2} == {"AAAACCCCGGGGTTTT", "AAAATCCCGGGGTTTT"}
+
+
+def test_edit_distance_concordance(tmp_path):
+    from bayestyper_tpu.io.vcf import VcfMeta, VcfVariant, VcfWriter
+    from bayestyper_tpu.tools.scripts import add_edit_distance_and_concordance
+
+    meta = VcfMeta()
+    meta.contigs = [("chr1", 100000)]
+    meta.samples = ["s0"]
+
+    def _w(path, rows):
+        with VcfWriter(str(path), meta) as w:
+            for r in rows:
+                w.write(r)
+        return str(path)
+
+    truth = _w(tmp_path / "t.vcf", [
+        VcfVariant("chr1", 100, [], "A", ["C"], None, [], {}, ["GT"],
+                   [{"GT": "0/1"}]),
+    ])
+    calls = _w(tmp_path / "c.vcf", [
+        VcfVariant("chr1", 100, [], "A", ["C"], None, [], {}, ["GT"],
+                   [{"GT": "1/0"}]),
+        VcfVariant("chr1", 5000, [], "G", ["T"], None, [], {}, ["GT"],
+                   [{"GT": "1/1"}]),
+    ])
+    out = str(tmp_path / "o.vcf")
+    add_edit_distance_and_concordance(calls, truth, out)
+    from bayestyper_tpu.io.vcf import read_all
+
+    _, variants = read_all(out)
+    assert variants[0].info["WED"] == "0"
+    assert variants[0].info["GTCO"] == "T"  # 1/0 == 0/1 after sort
+    assert variants[1].info["GTCO"] == "."
+
+
+def test_transmission_support(tmp_path):
+    from bayestyper_tpu.io.vcf import VcfMeta, VcfVariant, VcfWriter
+    from bayestyper_tpu.tools.scripts import (
+        assess_haplotype_transmission_support,
+    )
+
+    meta = VcfMeta()
+    meta.contigs = [("chr1", 1000)]
+    meta.samples = ["child", "father", "mother"]
+    path = str(tmp_path / "trio.vcf")
+    with VcfWriter(path, meta) as w:
+        w.write(VcfVariant("chr1", 10, [], "A", ["C"], None, [], {}, ["GT"],
+                           [{"GT": "0/1"}, {"GT": "0/0"}, {"GT": "1/1"}]))
+        w.write(VcfVariant("chr1", 20, [], "A", ["C"], None, [], {}, ["GT"],
+                           [{"GT": "1/1"}, {"GT": "0/0"}, {"GT": "1/1"}]))
+    stats = assess_haplotype_transmission_support(
+        path, str(tmp_path / "out.txt"),
+        trios=[("child", "father", "mother")],
+    )
+    assert stats[("child", "father", "mother")] == [1, 2]
+
+
+def test_convert_nested_genotypes(tmp_path):
+    from bayestyper_tpu.io.vcf import VcfMeta, VcfVariant, VcfWriter
+    from bayestyper_tpu.tools.scripts import convert_nested_genotypes
+
+    meta = VcfMeta()
+    meta.contigs = [("chr1", 1000)]
+    meta.samples = ["s0"]
+    path = str(tmp_path / "n.vcf")
+    with VcfWriter(path, meta) as w:
+        w.write(VcfVariant("chr1", 10, [], "A", ["C", "*"], None, [], {},
+                           ["GT"], [{"GT": "1/2"}]))
+    out = str(tmp_path / "o.vcf")
+    n = convert_nested_genotypes(path, out)
+    assert n == 1
+    from bayestyper_tpu.io.vcf import read_all
+
+    _, variants = read_all(out, parse_samples=True)
+    assert variants[0].samples[0]["GT"] == "./."
