@@ -171,6 +171,19 @@ def run_cluster_phase(
         for r in reasons.values():
             stats[r.value] += 1
         if nv is not None:
+            # copy-number tail extension for long alleles (duplications pull
+            # downstream reference copies into the cluster influence region,
+            # VariantFileParser.cpp:485-494)
+            if max(len(nv.ref), max(len(a) for a in nv.alts)) >= kmer_size:
+                from .graph.variants import copy_number_variant_length
+
+                chrom_seq = genome[nv.chrom]
+                nv.cnv_extension = max(
+                    copy_number_variant_length(
+                        seq, chrom_seq, nv.end, kmer_size
+                    )
+                    for seq in [nv.ref] + nv.alts
+                )
             per_chrom[nv.chrom].append(nv)
             stats["parsed"] += 1
 

@@ -52,11 +52,11 @@ def cluster_variants(variants, kmer_size: int = KMER_SIZE):
     for v in sorted(variants, key=lambda x: x.pos):
         if current is not None and v.pos < current_end + kmer_size:
             current.variants.append(v)
-            current_end = max(current_end, v.end)
+            current_end = max(current_end, v.influence_end)
         else:
             current = VariantCluster(chrom=v.chrom, variants=[v])
             clusters.append(current)
-            current_end = v.end
+            current_end = v.influence_end
     return clusters
 
 

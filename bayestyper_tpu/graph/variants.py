@@ -52,6 +52,7 @@ class NormalizedVariant:
     alt_types: list = field(default_factory=list)
     origins: list = field(default_factory=list)   # ACO origin tags per alt
     line_index: int = -1
+    cnv_extension: int = 0       # copy-number tail (copyNumberVariantLength)
 
     @property
     def num_alleles(self):
@@ -62,6 +63,12 @@ class NormalizedVariant:
     def end(self):
         """0-based exclusive reference end."""
         return self.pos + len(self.ref)
+
+    @property
+    def influence_end(self):
+        """End of the cluster-merging influence region: the reference span
+        plus any copy-number tail (VariantFileParser.cpp:493)."""
+        return self.end + self.cnv_extension
 
     def allele_seq(self, allele_idx: int) -> str | None:
         """Sequence of allele_idx (0=ref), None for the missing allele."""
@@ -189,3 +196,57 @@ def normalize_variant(vcf_variant, genome, max_allele_length=MAX_ALLELE_LENGTH):
         origins=origins,
     )
     return nv, reasons
+
+
+def copy_number_variant_length(allele_seq: str, chrom_seq: bytes,
+                               start: int, kmer_size: int,
+                               threshold: float = 0.5) -> int:
+    """Copy-number tail extension (copyNumberVariantLength,
+    VariantFileParser.cpp:649-733): extend downstream of the variant while a
+    sliding reference window shares >= `threshold` identical canonical
+    k-mers with the allele sequence — duplications/CNVs then pull the
+    repeated reference copies into the variant's cluster influence region.
+    """
+    from ..ops.kmers import encode_bases, kmer_lanes
+
+    if len(allele_seq) < kmer_size:
+        return 0
+    codes, valid = encode_bases(allele_seq.encode())
+    hi, lo, ok = kmer_lanes(codes, valid, kmer_size)
+    if not ok.any():
+        return 0
+    allele_kmers = set(zip(hi[ok].tolist(), lo[ok].tolist()))
+
+    length = 0
+    chrom_len = len(chrom_seq)
+    while True:
+        window_start = start + length
+        window_end = min(window_start + len(allele_seq), chrom_len)
+        if window_end - window_start < kmer_size:
+            break
+        wcodes, wvalid = encode_bases(chrom_seq[window_start:window_end])
+        whi, wlo, wok = kmer_lanes(wcodes, wvalid, kmer_size)
+        hits = [
+            (int(h), int(l)) in allele_kmers
+            for h, l, o in zip(whi, wlo, wok) if o
+        ]
+        if not hits:
+            break
+        # best-scoring prefix window (identical-kmer fraction over windows
+        # ending at each position, ties -> longest)
+        best_frac = 0.0
+        best_len = 0
+        cum = 0
+        for i, hit in enumerate(hits):
+            cum += hit
+            if cum > 0:
+                frac = cum / (i + 1)
+                if frac >= best_frac - 1e-12:
+                    best_frac = max(best_frac, frac)
+                    best_len = i + kmer_size
+        if best_frac < threshold or best_len == 0:
+            break
+        length += best_len
+        if window_end == chrom_len:
+            break
+    return length
