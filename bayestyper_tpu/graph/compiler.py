@@ -63,6 +63,22 @@ class CompiledCluster:
     non_covered_alleles: list = field(default_factory=list)  # per variant
 
 
+def mark_dependencies(variants):
+    """Set has_dependency on variants that can be overlapped by another
+    variant's reference span inside the cluster — those need the trailing
+    `*` missing allele on paths where the overlapping allele was taken
+    (the reference's nested-variant dependency, VariantFileParser.cpp:342-377
+    + VariantInfo.hpp:79-82)."""
+    for i, v in enumerate(variants):
+        if v.has_dependency:
+            continue
+        for u in variants:
+            if u is not v and u.pos < v.pos and u.end > v.pos:
+                v.has_dependency = True
+                break
+    return variants
+
+
 def enumerate_paths(cluster: VariantCluster, chrom_seq: bytes,
                     kmer_size: int = KMER_SIZE,
                     sample_blooms=None,
@@ -99,8 +115,23 @@ def enumerate_paths(cluster: VariantCluster, chrom_seq: bytes,
                 continue
             gap = chrom_seq[cursor : v.pos].decode()
             for a_idx in range(1 + len(v.alts)):
-                seq = v.ref if a_idx == 0 else v.alts[a_idx - 1]
                 pos_in_path = sum(len(p) for p in parts) + len(gap)
+                if a_idx == 0:
+                    # reference allele consumes nothing: downstream gap fill
+                    # provides the reference bases, so variants interior to
+                    # this one's span can still vary on ref paths (the
+                    # reference splits its graph vertices the same way,
+                    # VariantClusterGraph.cpp:62-282)
+                    new_beams.append(
+                        (
+                            alleles + [0],
+                            parts + [gap],
+                            v.pos,
+                            spans + [(pos_in_path, pos_in_path + len(v.ref))],
+                        )
+                    )
+                    continue
+                seq = v.alts[a_idx - 1]
                 new_beams.append(
                     (
                         alleles + [a_idx],
@@ -164,7 +195,9 @@ def compile_cluster(cluster: VariantCluster, chrom_seq: bytes,
                     sample_blooms=None,
                     max_sample_haplotypes: int = MAX_SAMPLE_HAPLOTYPES) -> CompiledCluster:
     """Paths -> k-mer multiplicity matrix + member tensor."""
-    variants = sorted(cluster.variants, key=lambda v: (v.pos, -len(v.ref)))
+    variants = mark_dependencies(
+        sorted(cluster.variants, key=lambda v: (v.pos, -len(v.ref)))
+    )
     paths = enumerate_paths(
         cluster, chrom_seq, kmer_size, sample_blooms, max_sample_haplotypes
     )
@@ -209,6 +242,21 @@ def compile_cluster(cluster: VariantCluster, chrom_seq: bytes,
                 a, b = a - 1, b + 1
             overlap = (pos_ok < b) & (pos_ok + kmer_size > a)
             member[idx[overlap], vi, pi] = True
+
+    # Missing-allele stats inheritance (addHaplotypeKmerStats,
+    # VariantClusterHaplotypes.cpp:330-350): when a haplotype's allele at a
+    # variant is the `*` missing allele, its NAK/FAK/MAC stats come from the
+    # haplotype's last non-missing upstream variant — implemented as a
+    # member-tensor redirect so the device stats code needs no special case.
+    for pi in range(h):
+        last_non_missing = -1
+        for vi, var in enumerate(variants):
+            a = hap_allele[pi, vi]
+            if var.has_dependency and a == var.num_alleles - 1:
+                if last_non_missing >= 0:
+                    member[:, vi, pi] = member[:, last_non_missing, pi]
+            else:
+                last_non_missing = vi
 
     non_covered = []
     for vi, var in enumerate(variants):
