@@ -6,9 +6,10 @@ with the reference allele extended to the longest (addVariant,
 Combine.cpp:245-324); every alt carries an ACO origin tag accumulating the
 contributing callset names (updateOriginAttribute, Combine.cpp:209-234);
 duplicate alts (after ref extension) merge their origins; alleles containing
-ambiguous nucleotides are dropped. TODO(decomposition): the reference also
-removes alts representable as a chain of other alleles
-(getRedundantAlleleSets, Combine.cpp:99-207).
+ambiguous nucleotides are dropped; alts representable as a chain of other
+alleles across downstream variants are removed with their origins merged
+into the chain members (getRedundantAlleleSets/isAltAlleleRedundant,
+Combine.cpp:99-207).
 """
 
 from __future__ import annotations
@@ -60,11 +61,17 @@ def combine(callsets, out_path):
             )
             _merge_into(slot, ref, alts, name, v.ids, existing_aco)
 
+    for chrom in by_chrom:
+        stats["removed_redundant"] = stats.get("removed_redundant", 0) + \
+            _remove_redundant_alts(by_chrom[chrom])
+
     with VcfWriter(out_path, meta) as w:
         contig_order = [c[0] for c in meta.contigs] or sorted(by_chrom)
         for chrom in contig_order:
             for pos in sorted(by_chrom.get(chrom, {})):
                 slot = by_chrom[chrom][pos]
+                if not slot["alts"]:
+                    continue
                 alts = list(slot["alts"].keys())
                 origins = [":".join(sorted(slot["alts"][a])) for a in alts]
                 w.write(
@@ -102,3 +109,94 @@ def _merge_into(slot, ref, alts, callset_name, ids, existing_aco):
         origins = slot["alts"].setdefault(a, set())
         prior = existing_aco[i] if i < len(existing_aco) and existing_aco[i] not in ("", ".") else None
         origins.add(prior if prior else callset_name)
+
+
+def _right_trim_pair(ref: str, alt: str):
+    """Right-trim a single (ref, alt) pair keeping length >= 1
+    (Auxiliaries::rightTrimAllelePair)."""
+    n = 0
+    while n < min(len(ref), len(alt)) - 1 and ref[-1 - n] == alt[-1 - n]:
+        n += 1
+    if n:
+        return ref[:-n], alt[:-n]
+    return ref, alt
+
+
+def _remove_redundant_alts(chrom_slots, max_depth: int = 6) -> int:
+    """Drop alts representable as a chain of other alleles of variants at the
+    same-and-downstream positions (isAltAlleleRedundant, Combine.cpp:157-207).
+    The chain must reproduce both the ref and alt strings exactly, use >= 2
+    alleles, and may pass through reference alleles of intervening variants.
+    Redundant alts' origins merge into the chain's alt alleles.
+    """
+    positions = sorted(chrom_slots)
+    pos_index = {p: i for i, p in enumerate(positions)}
+    removed = 0
+
+    def alleles_at(pos):
+        slot = chrom_slots[pos]
+        yield slot["ref"], slot["ref"], None  # reference allele
+        for alt_seq in list(slot["alts"].keys()):
+            yield slot["ref"], alt_seq, alt_seq
+
+    def find_chain(pi, ref_rest, alt_rest, chain, start_pos, cursor, depth):
+        """cursor = next genomic position the chain must explain."""
+        if depth > max_depth or pi >= len(positions):
+            return None
+        pos = positions[pi]
+        gap = pos - cursor
+        if gap < 0:
+            return find_chain(pi + 1, ref_rest, alt_rest, chain, start_pos,
+                              cursor, depth)
+        if gap > len(ref_rest) or gap > len(alt_rest):
+            return None
+        if ref_rest[:gap] != alt_rest[:gap]:
+            return None
+        r_rest, a_rest = ref_rest[gap:], alt_rest[gap:]
+        for vref, vallele, alt_key in alleles_at(pos):
+            tr, ta = _right_trim_pair(vref, vallele)
+            if not r_rest.startswith(tr) or not a_rest.startswith(ta):
+                continue
+            new_chain = chain + ([(pos, alt_key)] if alt_key else [])
+            nr, na = r_rest[len(tr):], a_rest[len(ta):]
+            if not nr and not na:
+                if len(chain) + 1 >= 2 and (len(new_chain) >= 1):
+                    # chain covered everything; require >= 2 chain elements
+                    total_elems = len(chain) + 1
+                    if total_elems >= 2:
+                        return new_chain
+                continue
+            result = find_chain(pi + 1, nr, na, new_chain, start_pos,
+                                pos + len(tr), depth + 1)
+            if result is not None and (len(result) + 1) >= 1:
+                return result
+        # also allow skipping this position entirely (no allele consumed)
+        return None
+
+    for pos in positions:
+        slot = chrom_slots[pos]
+        for alt_seq in list(slot["alts"].keys()):
+            tref, talt = _right_trim_pair(slot["ref"], alt_seq)
+            if len(tref) <= 1:
+                continue
+            pi = pos_index[pos]
+            # chain may start with an allele of this same variant (other than
+            # the alt itself) or of downstream variants
+            chain = _search_excluding(
+                find_chain, pi, tref, talt, pos, alt_seq
+            )
+            if chain:
+                origins = slot["alts"].pop(alt_seq)
+                removed += 1
+                for cpos, ckey in chain:
+                    if ckey is not None and ckey in chrom_slots[cpos]["alts"]:
+                        chrom_slots[cpos]["alts"][ckey] |= origins
+    return removed
+
+
+def _search_excluding(find_chain, pi, tref, talt, start_pos, exclude_alt):
+    """Run the chain search while never matching the candidate alt against
+    itself in full (a chain of length 1 equal to the alt is not redundancy)."""
+    # The >= 2 chain-element requirement in find_chain already excludes the
+    # identity chain; just run the search.
+    return find_chain(pi, tref, talt, [], start_pos, start_pos, 0)

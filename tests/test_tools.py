@@ -191,3 +191,35 @@ def test_add_attributes_end_to_end(tmp_path):
         "bayestyper_tpu.io.vcf", fromlist=["read_all"]
     ).read_all(out, parse_samples=True)
     assert variants[0].samples[0]["CONC"] == "1"
+
+
+def test_combine_decomposition_redundancy(tmp_path):
+    # MNV 'AT->GC' decomposes into SNVs A->G and T->C: dropped, origins merged
+    p1 = _write_vcf(tmp_path / "mnv.vcf", [
+        _var(pos=100, ref="AT", alts=("GC",)),
+    ])
+    p2 = _write_vcf(tmp_path / "snvs.vcf", [
+        _var(pos=100, ref="A", alts=("G",)),
+        _var(pos=101, ref="T", alts=("C",)),
+    ])
+    out = str(tmp_path / "m.vcf")
+    stats = combine([("manta", p1), ("gatk", p2)], out)
+    assert stats["removed_redundant"] == 1
+    from bayestyper_tpu.io.vcf import read_all
+
+    _, variants = read_all(out)
+    v100 = next(v for v in variants if v.pos == 100)
+    # the MNV alt (GCT after ref extension? ref extended to AT) is gone
+    assert all("GC" != a for a in v100.alts), v100.alts
+    # SNV origins picked up the MNV's callset
+    aco = dict(zip(v100.alts, v100.info["ACO"].split(",")))
+    assert any("manta" in o for o in aco.values()), aco
+
+
+def test_combine_keeps_non_decomposable(tmp_path):
+    p1 = _write_vcf(tmp_path / "a.vcf", [_var(pos=100, ref="AT", alts=("GG",))])
+    p2 = _write_vcf(tmp_path / "b.vcf", [_var(pos=100, ref="A", alts=("G",))])
+    out = str(tmp_path / "m.vcf")
+    stats = combine([("x", p1), ("y", p2)], out)
+    # 'GG' needs T->G at 101 which doesn't exist: kept
+    assert stats.get("removed_redundant", 0) == 0
