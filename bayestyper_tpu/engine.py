@@ -326,6 +326,7 @@ def run_cluster_phase(
         safe = np.maximum(midx, 0)
         ex_decoy = np.where(midx >= 0, decoy_hit[safe], False)
         keep = member_any & ~ex_multi & ~ex_decoy
+        keep = _cap_haplotype_variant_kmers(c, keep, rng)
         inter_f_c = np.where(midx >= 0, inter_f[safe], 0)[keep]
         inter_m_c = np.where(midx >= 0, inter_m[safe], 0)[keep]
         final.append(
@@ -884,3 +885,32 @@ def concat_vcfs(paths, out_path):
                 fh.write(line)
                 n += 1
     return n
+
+
+def _cap_haplotype_variant_kmers(compiled_cluster, keep, rng,
+                                 cap: int = 10 * 500):
+    """Bound the k-mer pool per (haplotype, variant) for giant clusters.
+
+    The reference caps the per-chain subset at max-haplotype-variant-kmers
+    (500) applied in shuffled order after the Bernoulli draw
+    (isMaxHaplotypeVariantKmer, VariantClusterHaplotypes.cpp:159-178). Here
+    the pool is capped once at compile time at 10x that (the Bernoulli rate
+    is 0.1, so the expected per-chain subset matches the reference's cap);
+    rows are visited in shuffled order and kept while ANY of their
+    (haplotype, variant) memberships is still under the cap.
+    """
+    member = compiled_cluster.member  # [K, V, H] bool
+    k, v, h = member.shape
+    totals = member[keep].sum(axis=0)  # [V, H]
+    if not (totals > cap).any():
+        return keep
+    order = rng.permutation(np.flatnonzero(keep))
+    counts = np.zeros((v, h), dtype=np.int64)
+    new_keep = np.zeros_like(keep)
+    for row in order:
+        m = member[row]
+        under = m & (counts < cap)
+        if under.any():
+            counts += m
+            new_keep[row] = True
+    return new_keep

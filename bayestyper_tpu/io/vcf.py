@@ -244,3 +244,35 @@ def read_all(path: str, parse_samples=False):
     r = VcfReader(path, parse_samples)
     variants = list(r)
     return r.meta, variants
+
+
+def remove_alts(variant: VcfVariant, remove_indices) -> VcfVariant:
+    """Remove alt alleles (0-based alt indices) with genotype fix-ups
+    (Variant::removeAlts, Variant.hpp:76): GT indices pointing at removed
+    alleles become '.', surviving indices are renumbered; allele-numbered
+    INFO fields (Number=A) are subset."""
+    remove = set(remove_indices)
+    keep = [i for i in range(len(variant.alts)) if i not in remove]
+    old_to_new = {0: 0}
+    for new_i, old_i in enumerate(keep):
+        old_to_new[old_i + 1] = new_i + 1
+
+    variant.alts = [variant.alts[i] for i in keep]
+    for key, val in list(variant.info.items()):
+        if isinstance(val, str) and val.count(",") == len(remove) + len(keep) - 1:
+            parts = val.split(",")
+            variant.info[key] = ",".join(parts[i] for i in keep)
+
+    for s in variant.samples:
+        gt = s.get("GT")
+        if not gt or gt == ".":
+            continue
+        sep = "|" if "|" in gt else "/"
+        out = []
+        for a in gt.split(sep):
+            if a == ".":
+                out.append(".")
+            else:
+                out.append(str(old_to_new.get(int(a), ".")) if int(a) in old_to_new else ".")
+        s["GT"] = sep.join(out)
+    return variant

@@ -164,3 +164,17 @@ def _rm_cover(regions, start, end):
     if not covers:
         return "."
     return ":".join(f"{fam}#{c}" for fam, c in sorted(covers.items()))
+
+
+def trio_denovo(child_gt, father_gt, mother_gt):
+    """De-novo candidate (Trio.cpp:142): diploid trio, NOT concordant, the
+    child exclusively heterozygous for an allele absent in both parents, no
+    missing calls. Returns None when not assessable."""
+    if any(g is None or len(g) != 2 for g in (child_gt, father_gt, mother_gt)):
+        return None
+    if trio_concordant(child_gt, father_gt, mother_gt):
+        return False
+    if child_gt[0] == child_gt[1]:
+        return False
+    parent_alleles = set(father_gt) | set(mother_gt)
+    return any(a not in parent_alleles for a in child_gt)
