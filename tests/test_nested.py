@@ -90,3 +90,66 @@ def test_deletion_spanning_snv(tmp_path):
     assert snv_row.alts[-1] == "*"
     gt = snv_row.samples[0]["GT"]
     assert set(gt.split("/")) == {"1", "2"}, gt  # alt + missing(*)
+
+
+def test_large_sv_genotyping(tmp_path):
+    """A 300 bp deletion and a 150 bp insertion (small-SV scale,
+    BASELINE configs[1]) genotyped end-to-end."""
+    rng = np.random.default_rng(17)
+    seq = "".join(rng.choice(list("ACGT"), 8000))
+    genome = Genome()
+    genome.names = ["chr1"]
+    genome.sequences["chr1"] = seq.encode()
+
+    del_pos, del_len = 2000, 300
+    ins_pos = 5000
+    ins_seq = "".join(rng.choice(list("ACGT"), 150))
+    del_ref = seq[del_pos : del_pos + del_len + 1]
+    variants = [
+        (del_pos, del_ref, seq[del_pos]),
+        (ins_pos, seq[ins_pos], seq[ins_pos] + ins_seq),
+    ]
+
+    write_fasta(str(tmp_path / "g.fa"), [("chr1", genome["chr1"])])
+    vcf_path = str(tmp_path / "v.vcf")
+    with open(vcf_path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n##contig=<ID=chr1,length=8000>\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for p, r, a in variants:
+            fh.write(f"chr1\t{p + 1}\t.\t{r}\t{a}\t.\t.\t.\n")
+
+    # het deletion, hom insertion
+    # apply insertion to both haps (hom); deletion only to h1 (het)
+    def apply(s, dele, ins):
+        out = s
+        if ins:
+            # insertion applies at ins_pos of the ORIGINAL coordinates; for
+            # h1 the deletion upstream shifts it by -del_len
+            shift = -del_len if dele else 0
+            p = ins_pos + shift
+            out = out[: p + 1] + ins_seq + out[p + 1 :]
+        return out
+
+    h1 = apply(seq[: del_pos + 1] + seq[del_pos + del_len + 1 :], True, True)
+    h2 = apply(seq, False, True)
+    mean = 15.0
+    hi, lo, mult = count_kmers_from_sequences([h1.encode(), h2.encode()], K)
+    m = mult.astype(np.float64)
+    mm, vv = mean * m, 2 * mean * m
+    cnt = rng.negative_binomial(mm * mm / (vv - mm), mm / vv)
+    keep = cnt > 0
+    prefix = str(tmp_path / "s0")
+    write_kmc1(prefix, hi[keep], lo[keep], cnt[keep], kmer_length=K)
+    samples = [Sample("s0", GENDER_FEMALE, prefix)]
+
+    ploidy = ChromosomePloidy.human_default()
+    unit = run_cluster_phase(genome, samples, vcf_path, ploidy, kmer_size=K)
+    out = str(tmp_path / "out.vcf")
+    opts = GenotypeOptions(num_chains=6, burn_in=40, num_samples=100,
+                           random_seed=7)
+    genotype_unit(unit, samples, genome, ploidy, out, opts)
+
+    reader = VcfReader(out, parse_samples=True)
+    rows = {r.pos: r for r in reader}
+    assert rows[del_pos + 1].samples[0]["GT"] == "0/1"
+    assert rows[ins_pos + 1].samples[0]["GT"] == "1/1"

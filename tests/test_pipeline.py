@@ -114,3 +114,20 @@ def test_genotype_concordance(pipeline_result):
     # high; subsampling no-calls keep the call rate below 1
     assert call_rate > 0.7, (call_rate, concordance)
     assert concordance > 0.95, (call_rate, concordance)
+
+
+def test_determinism_same_seed(tmp_path, pipeline_result):
+    """Fixed seed => byte-identical output VCF (the reference's determinism
+    oracle, README v1.5 'Seeding and threading'; ours extends to any chip
+    count via counter-based PRNG)."""
+    genome, variants, samples, truth, out_path, summary, unit = pipeline_result
+    from bayestyper_tpu.io.samples import ChromosomePloidy
+
+    ploidy = ChromosomePloidy.human_default()
+    opts = GenotypeOptions(num_chains=3, burn_in=20, num_samples=40,
+                           random_seed=99)
+    p1 = str(tmp_path / "d1.vcf")
+    p2 = str(tmp_path / "d2.vcf")
+    genotype_unit(unit, samples, genome, ploidy, p1, opts)
+    genotype_unit(unit, samples, genome, ploidy, p2, opts)
+    assert open(p1).read() == open(p2).read()
