@@ -562,19 +562,20 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
 
     shape, scale = opts.noise_rate_prior
     key = jax.random.PRNGKey(opts.random_seed)
-    rate_sum = np.zeros(len(samples))
-    traces = []
+    # dispatch all chains asynchronously, sync once at the end
+    results = []
     for chain in range(opts.num_chains):
         k_init = jax.random.fold_in(jax.random.fold_in(key, 77), chain)
         init_rates = jax.random.gamma(
             k_init, shape, (len(samples),)
         ) * scale
-        rs, trace = noise_chain(
+        results.append(noise_chain(
             key, bucket, tables, init_rates, (shape, scale), outcomes, cfg,
             chain_idx=chain,
-        )
-        rate_sum += np.asarray(rs)
-        traces.append(np.asarray(trace))
+        ))
+    results = jax.device_get(results)
+    rate_sum = np.sum([rs for rs, _ in results], axis=0)
+    traces = [trace for _, trace in results]
     mean_rates = rate_sum / (opts.num_samples * opts.num_chains)
     _log(f"Estimated noise rates: {mean_rates}")
     return mean_rates, np.stack(traces)
@@ -644,6 +645,10 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             kmer_subsampling_rate=opts.kmer_subsampling_rate,
             max_total_mult=max_tot,
         )
+        # one-deep software pipeline: the device runs bucket N while the
+        # host builds bucket N+1 and renders bucket N-1 (dispatch is async;
+        # only the device_get in _emit_records synchronises)
+        pending = None
         for start in range(0, len(fcs), opts.max_bucket_clusters):
             chunk = fcs[start : start + opts.max_bucket_clusters]
             c_pad = _pow2_at_least(len(chunk), 1)
@@ -659,8 +664,15 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
                 bucket, outcomes, tally, w, filters,
                 allele_capacity=a, mac_top_t=8,
             )
-            _emit_records(writer, chunk, stats, samples, ploidy_model)
-            num_genotyped += sum(len(fc.variants) for fc in chunk)
+            if pending is not None:
+                _emit_records(writer, pending[0], pending[1], samples,
+                              ploidy_model)
+                num_genotyped += sum(len(fc.variants) for fc in pending[0])
+                _log(f"Genotyped {num_genotyped} variants")
+            pending = (chunk, stats)
+        if pending is not None:
+            _emit_records(writer, pending[0], pending[1], samples, ploidy_model)
+            num_genotyped += sum(len(fc.variants) for fc in pending[0])
             _log(f"Genotyped {num_genotyped} variants")
 
     n = writer.finalise()
