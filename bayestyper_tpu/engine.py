@@ -236,8 +236,14 @@ def run_cluster_phase(
     # kmer sampling (KmerCounter.cpp:171-386)
     regions = intercluster_regions(genome, clusters_by_chrom, kmer_size)
 
-    # union of member kmers across clusters — only these need counts/mults
-    member_tables = {}
+    # single combined table over all path kmers, with a member-row flag —
+    # one lookup per genome chunk serves both the intercluster-multiplicity
+    # update (member rows) and the parameter-candidate test (any row)
+    all_path_union = LaneTable.from_unsorted_unique(
+        np.concatenate([c.kmer_hi for c in compiled]) if compiled else np.zeros(0, np.uint64),
+        np.concatenate([c.kmer_lo for c in compiled]) if compiled else np.zeros(0, np.uint64),
+    )
+    member_flags = np.zeros(len(all_path_union), dtype=bool)
     if compiled:
         mem_hi = np.concatenate(
             [c.kmer_hi[c.member.any(axis=(1, 2))] for c in compiled]
@@ -245,39 +251,32 @@ def run_cluster_phase(
         mem_lo = np.concatenate(
             [c.kmer_lo[c.member.any(axis=(1, 2))] for c in compiled]
         )
-        member_union = LaneTable.from_unsorted_unique(mem_hi, mem_lo)
-    else:
-        member_union = LaneTable(np.zeros(0, np.uint64), np.zeros(0, np.uint64))
+        member_flags[all_path_union.lookup(mem_hi, mem_lo)] = True
 
-    inter_f = np.zeros(len(member_union), dtype=np.int32)
-    inter_m = np.zeros(len(member_union), dtype=np.int32)
-    decoy_hit = np.zeros(len(member_union), dtype=bool)
+    inter_f = np.zeros(len(all_path_union), dtype=np.int32)
+    inter_m = np.zeros(len(all_path_union), dtype=np.int32)
+    decoy_hit = np.zeros(len(all_path_union), dtype=bool)
 
     # parameter kmers: region kmers not in any cluster path; reservoir-free
     # Bernoulli subsample with post-hoc multiplicity counting
     param_chunks = []
-    all_path_union = LaneTable.from_unsorted_unique(
-        np.concatenate([c.kmer_hi for c in compiled]) if compiled else np.zeros(0, np.uint64),
-        np.concatenate([c.kmer_lo for c in compiled]) if compiled else np.zeros(0, np.uint64),
-    )
     total_region_len = sum(e - s for _, s, e in regions)
     sample_rate = min(1.0, (3.0 * max_parameter_kmers) / max(total_region_len, 1))
 
     for chrom, hi, lo in _scan_genome_kmers(genome, regions, kmer_size):
         pf = ploidy.ploidy(chrom, GENDER_FEMALE)
         pm = ploidy.ploidy(chrom, 1 - GENDER_FEMALE)
-        idx = member_union.lookup(hi, lo)
+        idx = all_path_union.lookup(hi, lo)
         hit = idx >= 0
+        mhit = idx[hit & np.where(hit, member_flags[np.maximum(idx, 0)], False)]
         if genome.is_decoy(chrom):
-            decoy_hit[idx[hit]] = True
-        else:
-            np.add.at(inter_f, idx[hit], pf)
-            np.add.at(inter_m, idx[hit], pm)
-        # parameter candidates: not on any cluster path (decoys always kept:
-        # KmerCounter.cpp:171-250 keeps decoy kmers unconditionally)
-        if genome.is_decoy(chrom):
+            decoy_hit[mhit] = True
+            # parameter candidates never come from decoys here; decoy kmers
+            # are kept unconditionally by the reference (KmerCounter.cpp:171-250)
             continue
-        cand = ~all_path_union.contains(hi, lo)
+        np.add.at(inter_f, mhit, pf)
+        np.add.at(inter_m, mhit, pm)
+        cand = ~hit
         if sample_rate < 1.0:
             cand &= rng.random(len(hi)) < sample_rate
         param_chunks.append((hi[cand], lo[cand], pf, pm))
@@ -322,7 +321,7 @@ def run_cluster_phase(
     for c in compiled:
         member_any = c.member.any(axis=(1, 2))
         ex_multi = multigroup.contains(c.kmer_hi, c.kmer_lo)
-        midx = member_union.lookup(c.kmer_hi, c.kmer_lo)
+        midx = all_path_union.lookup(c.kmer_hi, c.kmer_lo)
         safe = np.maximum(midx, 0)
         ex_decoy = np.where(midx >= 0, decoy_hit[safe], False)
         keep = member_any & ~ex_multi & ~ex_decoy
