@@ -521,21 +521,33 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     from .ops.distributions import np_build_count_log_prob_tables
 
     rng = np.random.default_rng(opts.random_seed)
-    by_class = defaultdict(list)
-    for fc in unit.compiled:
-        by_class[_size_class(fc)].append(fc)
-    if not by_class:
+    if not unit.compiled:
         raise ValueError("no clusters to estimate noise from")
-    modal = max(by_class, key=lambda k: len(by_class[k]))
-    pool = by_class[modal]
-    # cap at the noise batch size (noise_variants_batch_size = 100000);
-    # additionally cap the cluster count so the likelihood precompute's
-    # [C, S, M, K] gather stays within HBM
+    # every cluster is a single-cluster group here (flattened containment),
+    # so the whole unit qualifies (estimateNoise picks single-cluster groups,
+    # InferenceEngine.cpp:141-151). All size classes are padded into one
+    # common superset so the per-iteration noise coupling spans them inside
+    # one compiled scan; clusters too large for the superset cap are skipped.
+    max_k, max_h, max_v = 1024, 32, 16
+    pool = [
+        fc for fc in unit.compiled
+        if len(fc.kmer_hi) <= max_k and fc.hap_allele.shape[0] <= max_h
+        and len(fc.variants) <= max_v
+    ]
+    if not pool:
+        pool = list(unit.compiled)[:1]
     rng.shuffle(pool)
-    batch = pool[: max(1, NOISE_ESTIMATION_VARIANTS // max(1, len(pool[0].variants)))]
-    batch = batch[:8192]
+    batch = []
+    num_vars = 0
+    for fc in pool:
+        if num_vars >= NOISE_ESTIMATION_VARIANTS or len(batch) >= 8192:
+            break
+        batch.append(fc)
+        num_vars += len(fc.variants)
 
-    h, k, v, a = modal
+    h = max(_pow2_at_least(fc.hap_allele.shape[0], 2) for fc in batch)
+    k = max(_step_at_least(max(len(fc.kmer_hi), 1), 256, 4) for fc in batch)
+    v = max(_step_at_least(len(fc.variants), 1, 4) for fc in batch)
     c_pad = _pow2_at_least(len(batch), 1)
     dicts = [
         _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
