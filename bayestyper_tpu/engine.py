@@ -33,7 +33,6 @@ from .constants import (
     MAX_SAMPLE_HAPLOTYPES,
     MIN_GENOTYPE_POSTERIOR,
     MIN_NUMBER_OF_KMERS,
-    MISSING,
     NOISE_ESTIMATION_VARIANTS,
     NOISE_RATE_PRIOR_SCALE,
     NOISE_RATE_PRIOR_SHAPE,
@@ -47,7 +46,7 @@ from .io.fasta import Genome
 from .io.kmc import KmcReader
 from .io.samples import ChromosomePloidy
 from .io.vcf import VcfReader
-from .model.count_model import fit_genomic_nb, NegativeBinomialParams
+from .model.count_model import fit_genomic_nb
 from .ops.kmers import encode_bases, kmer_lanes
 from .writer import GenotypeVcfWriter, VariantGenotypeRecord
 
@@ -213,7 +212,6 @@ def run_cluster_phase(
 
     # 3. multigroup exclusion: kmers whose paths span >1 cluster group
     # (countPathMultigroupKmers, KmerCounter.cpp:105-169) — exact here
-    counts_per_kmer = defaultdict(int)
     if compiled:
         all_hi = np.concatenate([c.kmer_hi for c in compiled])
         all_lo = np.concatenate([c.kmer_lo for c in compiled])

@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +53,7 @@ from ..constants import (
     PLOIDY_HAPLOID,
     PLOIDY_NULL,
 )
-from ..ops.sampling import NEG_INF, log_categorical, sample_frequencies
+from ..ops.sampling import NEG_INF, sample_frequencies
 from .buckets import ClusterBucket
 
 

@@ -20,7 +20,6 @@ across nodes (SURVEY §2.5). The TPU-native equivalents:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

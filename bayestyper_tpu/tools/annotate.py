@@ -21,7 +21,6 @@ from collections import defaultdict
 
 from ..io.vcf import VcfReader, VcfWriter
 from ..ops.edit_distance import edit_distance
-from ..graph.variants import _full_trim
 
 DEFAULT_MATCH_THRESHOLD = 0.5
 DEFAULT_WINDOW_SIZE_SCALE = 3.0

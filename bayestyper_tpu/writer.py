@@ -13,7 +13,7 @@ bounded) and writes once.
 from __future__ import annotations
 
 import gzip
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
