@@ -266,7 +266,10 @@ def run_cluster_phase(
         pm = ploidy.ploidy(chrom, 1 - GENDER_FEMALE)
         idx = all_path_union.lookup(hi, lo)
         hit = idx >= 0
-        mhit = idx[hit & np.where(hit, member_flags[np.maximum(idx, 0)], False)]
+        if len(member_flags):
+            mhit = idx[hit & np.where(hit, member_flags[np.maximum(idx, 0)], False)]
+        else:
+            mhit = idx[:0]
         if genome.is_decoy(chrom):
             decoy_hit[mhit] = True
             # parameter candidates never come from decoys here; decoy kmers
