@@ -118,3 +118,25 @@ class KmerBloomFilter:
                 bits=z["bits"],
                 num_kmers=int(z["num_kmers"]),
             )
+
+
+def device_bloom_prepare(bloom: "KmerBloomFilter", hi, lo):
+    """Host-side position precompute for device_bloom_contains: returns
+    (word_idx [H, N], bit_shift [H, N]) int32/uint32 arrays (JAX x32-safe —
+    64-bit hashing stays on the host where uint64 is native)."""
+    idx = bloom._positions(hi, lo)          # [num_hashes, N] uint64
+    word = (idx // np.uint64(32)).astype(np.int64)
+    shift = (idx % np.uint64(32)).astype(np.uint32)
+    return word.astype(np.int32), shift
+
+
+def device_bloom_query(bloom: "KmerBloomFilter", hi, lo):
+    """End-to-end device query: host hashing + device gather/bit-test.
+    Matches bloom.contains bit-for-bit (tested)."""
+    import jax.numpy as jnp
+
+    word, shift = device_bloom_prepare(bloom, hi, lo)
+    bits32 = jnp.asarray(bloom.bits.view(np.uint32))
+    gathered = jnp.take(bits32, jnp.asarray(word), axis=0)
+    present = ((gathered >> jnp.asarray(shift)) & 1).astype(bool)
+    return present.all(axis=0)

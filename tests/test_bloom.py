@@ -59,3 +59,19 @@ def test_contains_and_add_second_occurrence():
     r = bf2.contains_and_add(dup_hi, dup_lo)
     assert not r[:10].any()
     assert r[10:].all()
+
+
+def test_device_bloom_matches_host():
+    import numpy as np
+    from bayestyper_tpu.ops.bloom import KmerBloomFilter, device_bloom_query
+
+    rng = np.random.default_rng(8)
+    hi, lo = _random_lanes(rng, 5000)
+    bf = KmerBloomFilter.with_optimal_parameters(5000, 0.001)
+    bf.add(hi, lo)
+    qhi, qlo = _random_lanes(rng, 3000)
+    all_hi = np.concatenate([hi[:1000], qhi])
+    all_lo = np.concatenate([lo[:1000], qlo])
+    host = bf.contains(all_hi, all_lo)
+    dev = np.asarray(device_bloom_query(bf, all_hi, all_lo))
+    np.testing.assert_array_equal(host, dev)
