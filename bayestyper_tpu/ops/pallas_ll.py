@@ -41,7 +41,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _ll_kernel(oa_ref, ob_ref, counts_ref, inter_ref, mult_ref, w_ref,
