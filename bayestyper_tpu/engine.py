@@ -88,17 +88,9 @@ class LaneTable:
 
         if native.available():
             return native.lane_lookup(self.hi, self.lo, hi, lo)
-        out = np.searchsorted(self.hi, hi, side="left").astype(np.int64)
-        n = len(self.hi)
-        for _ in range(64):
-            cur = np.minimum(out, n - 1)
-            mism = (out < n) & (self.hi[cur] == hi) & (self.lo[cur] != lo)
-            if not mism.any():
-                break
-            out[mism] += 1
-        cur = np.minimum(out, n - 1)
-        found = (out < n) & (self.hi[cur] == hi) & (self.lo[cur] == lo)
-        return np.where(found, out, -1)
+        from .ops.kmers import lane_search
+
+        return lane_search(self.hi, self.lo, hi, lo)
 
     def contains(self, hi, lo):
         return self.lookup(hi, lo) >= 0

@@ -282,15 +282,8 @@ def compile_cluster(cluster: VariantCluster, chrom_seq: bytes,
 
 def _lookup(sorted_hi, sorted_lo, hi, lo):
     """Indices of (hi, lo) in the sorted lane table (all must be present)."""
-    # composite search: searchsorted on hi then advance within equal-hi runs
-    out = np.searchsorted(sorted_hi, hi, side="left")
-    n = len(sorted_hi)
-    for _ in range(64):
-        cur = np.minimum(out, n - 1)
-        mism = (out < n) & (sorted_hi[cur] == hi) & (sorted_lo[cur] != lo)
-        if not mism.any():
-            break
-        out[mism] += 1
-    cur = np.minimum(out, n - 1)
-    assert (sorted_hi[cur] == hi).all() and (sorted_lo[cur] == lo).all()
+    from ..ops.kmers import lane_search
+
+    out = lane_search(sorted_hi, sorted_lo, hi, lo)
+    assert (out >= 0).all()
     return out

@@ -188,6 +188,36 @@ def _kmer_lanes_numpy(codes, valid, k: int = KMER_SIZE):
 
 # --- 64-bit mixing for hashing lane pairs (bloom filters / table sharding) ---
 
+def lane_search(table_hi, table_lo, hi, lo):
+    """Exact vectorised lexicographic binary search over a (hi, lo)-lexsorted
+    lane table. Returns int64 indices into the table, -1 where absent.
+
+    Replaces the reference's per-leaf binary search (LinearMap.tpp:123-212)
+    with two searchsorted passes: the hi lane bounds the run, then a manual
+    vectorised binary search resolves lo inside each run — exact for runs of
+    any length (repetitive sequence can share one hi prefix thousands deep).
+    """
+    n = len(table_hi)
+    out = np.full(len(hi), -1, dtype=np.int64)
+    if n == 0 or len(hi) == 0:
+        return out
+    left = np.searchsorted(table_hi, hi, side="left").astype(np.int64)
+    right = np.searchsorted(table_hi, hi, side="right").astype(np.int64)
+    lft, r = left, right.copy()
+    lft = lft.copy()
+    while True:
+        active = lft < r
+        if not active.any():
+            break
+        mid = (lft + r) >> 1
+        go_right = active & (table_lo[np.minimum(mid, n - 1)] < lo)
+        lft = np.where(go_right, mid + 1, lft)
+        r = np.where(active & ~go_right, mid, r)
+    cur = np.minimum(lft, n - 1)
+    found = (lft < right) & (table_lo[cur] == lo)
+    return np.where(found, lft, out)
+
+
 _M1 = np.uint64(0xFF51AFD7ED558CCD)
 _M2 = np.uint64(0xC4CEB9FE1A85EC53)
 _M3 = np.uint64(0x9E3779B97F4A7C15)

@@ -75,3 +75,58 @@ def test_hashes_deterministic_and_spread():
     idx = bloom_hashes(hi, lo, 3, 1 << 20)
     assert idx.shape == (3, len(hi))
     assert (idx < (1 << 20)).all()
+
+
+def test_lane_search_exact_long_equal_hi_runs():
+    """Regression: the old fallback advanced through equal-hi runs with a
+    64-iteration cap, silently reporting present kmers absent beyond it.
+    lane_search must be exact for runs of any length."""
+    from bayestyper_tpu.ops.kmers import lane_search
+
+    rng = np.random.default_rng(11)
+    # one hi value shared by 500 rows, plus scattered other rows
+    hi = np.concatenate([
+        np.full(500, 123456789, dtype=np.uint64),
+        rng.integers(0, 1 << 54, 300, dtype=np.uint64),
+    ])
+    lo = np.concatenate([
+        rng.choice(1 << 56, 500, replace=False).astype(np.uint64),
+        rng.integers(0, 1 << 56, 300, dtype=np.uint64),
+    ])
+    order = np.lexsort((lo, hi))
+    hi, lo = hi[order], lo[order]
+    keep = np.ones(len(hi), bool)
+    keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    hi, lo = hi[keep], lo[keep]
+
+    # every table row must be found at its own index
+    idx = lane_search(hi, lo, hi, lo)
+    np.testing.assert_array_equal(idx, np.arange(len(hi)))
+
+    # absent keys (flip one lo bit) -> -1, including deep inside the run
+    miss = lane_search(hi, lo, hi, lo ^ np.uint64(1))
+    present = lane_search(hi, lo, hi, lo ^ np.uint64(1)) >= 0
+    for i in np.flatnonzero(present):
+        # a flipped key may legitimately exist; verify it really does
+        j = miss[i]
+        assert hi[j] == hi[i] and lo[j] == (lo[i] ^ np.uint64(1))
+
+
+def test_lane_table_fallback_matches_native(monkeypatch):
+    """LaneTable.lookup numpy fallback must agree with exact search even when
+    the native path is unavailable."""
+    from bayestyper_tpu import native
+    from bayestyper_tpu.engine import LaneTable
+
+    rng = np.random.default_rng(12)
+    hi = np.full(200, 42, dtype=np.uint64)
+    lo = rng.choice(1 << 40, 200, replace=False).astype(np.uint64)
+    t = LaneTable.from_unsorted_unique(hi, lo)
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    idx = t.lookup(hi, lo)
+    assert (idx >= 0).all()
+    np.testing.assert_array_equal(t.hi[idx], hi)
+    np.testing.assert_array_equal(t.lo[idx], lo)
+    absent = t.lookup(hi[:10], (lo[:10] + np.uint64(1 << 50)))
+    assert (absent == -1).all()
