@@ -51,14 +51,7 @@ def cmd_cluster(args):
 
     blooms = []
     for s in samples:
-        bloom_path = s.kmc_prefix + ".bloom.npz"
-        if os.path.exists(bloom_path):
-            blooms.append(KmerBloomFilter.load(bloom_path))
-        else:
-            from .tools.make_bloom import kmc_to_bloom
-
-            bloom, _ = kmc_to_bloom(s.kmc_prefix)
-            blooms.append(bloom)
+        blooms.append(_load_sample_bloom(s.kmc_prefix))
 
     unit = run_cluster_phase(
         genome, samples, args.vcf_file, ploidy,
@@ -66,6 +59,9 @@ def cmd_cluster(args):
         kmer_size=args.kmer_size,
         max_sample_haplotypes=args.max_number_of_sample_haplotypes,
         rng_seed=args.random_seed,
+        max_allele_length=args.max_allele_length,
+        cnv_threshold=args.copy_number_variant_threshold,
+        num_threads=args.threads,
     )
     from .engine import split_units
 
@@ -75,6 +71,9 @@ def cmd_cluster(args):
         os.makedirs(os.path.dirname(out), exist_ok=True)
         u.save(out)
         print(f"Wrote inference unit to {out}")
+    from .engine import write_cluster_data_artifacts
+
+    write_cluster_data_artifacts(args.output_prefix, unit, genome)
     return 0
 
 
@@ -103,7 +102,9 @@ def cmd_genotype(args):
         kmer_subsampling_rate=args.kmer_subsampling_rate,
         min_genotype_posterior=args.min_genotype_posterior,
         min_number_of_kmers=args.min_number_of_kmers,
+        max_haplotype_variant_kmers=args.max_haplotype_variant_kmers,
         disable_observed_kmers=args.disable_observed_kmers,
+        num_host_threads=args.threads,
         noise_rate_prior=prior,
         noise_genotyping=args.noise_genotyping,
         random_seed=args.random_seed,
@@ -124,10 +125,34 @@ def cmd_genotype(args):
     return 0
 
 
+def _load_sample_bloom(kmc_prefix):
+    """Sample read bloom: reference `.bloomMeta/.bloomData` artifacts take
+    precedence (drop-in interop), then the native npz, else build from the
+    KMC table."""
+    import os
+
+    from .ops.nthash import ReferenceKmerBloom
+
+    if ReferenceKmerBloom.exists(kmc_prefix):
+        return ReferenceKmerBloom.load(kmc_prefix)
+    path = kmc_prefix + ".bloom.npz"
+    if os.path.exists(path):
+        from .ops.bloom import KmerBloomFilter
+
+        return KmerBloomFilter.load(path)
+    from .tools.make_bloom import kmc_to_bloom
+
+    bloom, _ = kmc_to_bloom(kmc_prefix)
+    return bloom
+
+
 def cmd_make_bloom(args):
     from .tools.make_bloom import kmc_to_bloom
 
-    _, out = kmc_to_bloom(args.kmer_table_prefix, run_test=args.run_test)
+    _, out = kmc_to_bloom(
+        args.kmer_table_prefix, run_test=args.run_test,
+        reference_format=args.reference_format,
+    )
     print(f"Wrote bloom filter to {out}")
     return 0
 
@@ -171,6 +196,9 @@ def main(argv=None):
     p = sub.add_parser("makeBloom", help="KMC table -> bloom filter")
     p.add_argument("-k", "--kmer-table-prefix", required=True)
     p.add_argument("--run-test", action="store_true")
+    p.add_argument("--reference-format", action="store_true",
+                   help="write the reference's .bloomMeta/.bloomData pair "
+                        "(ntHash layout) instead of the native npz")
     p.set_defaults(func=cmd_make_bloom)
 
     p = sub.add_parser("concat", help="concatenate per-unit genotype VCFs")
@@ -194,7 +222,9 @@ def main(argv=None):
     p.add_argument("--gibbs-burn-in", type=int, default=100)
     p.add_argument("--gibbs-samples", type=int, default=250)
     p.add_argument("--kmer-subsampling-rate", type=float, default=0.1)
+    p.add_argument("--max-haplotype-variant-kmers", type=int, default=500)
     p.add_argument("--noise-genotyping", action="store_true")
+    p.add_argument("-p", "--threads", type=int, default=1)
     p.add_argument("-z", "--gzip-output", action="store_true")
     p.set_defaults(func=cmd_workflow)
 
@@ -267,14 +297,7 @@ def cmd_workflow(args):
     from .ops.bloom import KmerBloomFilter
     from .tools.make_bloom import kmc_to_bloom
 
-    blooms = []
-    for s in samples:
-        path = s.kmc_prefix + ".bloom.npz"
-        if os.path.exists(path):
-            blooms.append(KmerBloomFilter.load(path))
-        else:
-            bloom, _ = kmc_to_bloom(s.kmc_prefix)
-            blooms.append(bloom)
+    blooms = [_load_sample_bloom(s.kmc_prefix) for s in samples]
 
     # 3. cluster -> units
     unit = run_cluster_phase(
@@ -299,8 +322,10 @@ def cmd_workflow(args):
         burn_in=args.gibbs_burn_in,
         num_samples=args.gibbs_samples,
         kmer_subsampling_rate=args.kmer_subsampling_rate,
+        max_haplotype_variant_kmers=args.max_haplotype_variant_kmers,
         noise_genotyping=args.noise_genotyping,
         random_seed=args.random_seed,
+        num_host_threads=args.threads,
     )
     unit_vcfs = []
     for i, path in enumerate(unit_paths, 1):

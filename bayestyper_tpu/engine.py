@@ -30,6 +30,7 @@ from .constants import (
     GIBBS_SAMPLES,
     KMER_SIZE,
     KMER_SUBSAMPLING_RATE,
+    MAX_HAPLOID_MULTIPLICITY,
     MAX_SAMPLE_HAPLOTYPES,
     MIN_GENOTYPE_POSTERIOR,
     MIN_NUMBER_OF_KMERS,
@@ -39,7 +40,12 @@ from .constants import (
     NUM_GIBBS_CHAINS,
     GENDER_FEMALE,
 )
-from .graph.clustering import cluster_variants, intercluster_regions
+from .graph.clustering import (
+    cluster_variants,
+    finalize_cluster_links,
+    intercluster_regions,
+    mark_group_dependencies,
+)
 from .graph.compiler import CompiledCluster, compile_cluster
 from .graph.variants import normalize_variant
 from .io.fasta import Genome
@@ -113,6 +119,8 @@ class InferenceUnitData:
     param_mult_female: np.ndarray     # intercluster multiplicity per gender
     param_mult_male: np.ndarray
     exclusion_stats: dict
+    multigroup_hi: np.ndarray | None = None   # multigroup kmer lanes (for the
+    multigroup_lo: np.ndarray | None = None   # reference artifact dump)
 
     def save(self, path: str):
         with open(path, "wb") as fh:
@@ -149,7 +157,16 @@ def run_cluster_phase(
     max_sample_haplotypes: int = MAX_SAMPLE_HAPLOTYPES,
     max_parameter_kmers: int = 1_000_000,
     rng_seed: int = 1,
+    max_allele_length: int | None = None,
+    cnv_threshold: float | None = None,
+    num_threads: int = 1,
 ) -> InferenceUnitData:
+    from .constants import COPY_NUMBER_VARIANT_THRESHOLD, MAX_ALLELE_LENGTH
+
+    if max_allele_length is None:
+        max_allele_length = MAX_ALLELE_LENGTH
+    if cnv_threshold is None:
+        cnv_threshold = COPY_NUMBER_VARIANT_THRESHOLD
     rng = np.random.default_rng(rng_seed)
 
     # 1. parse + normalise + cluster (VariantFileParser.cpp:185-1042)
@@ -158,7 +175,9 @@ def run_cluster_phase(
     stats = defaultdict(int)
     reader = VcfReader(vcf_path, parse_samples=False)
     for vv in reader:
-        nv, reasons = normalize_variant(vv, genome)
+        nv, reasons = normalize_variant(
+            vv, genome, max_allele_length=max_allele_length
+        )
         for r in reasons.values():
             stats[r.value] += 1
         if nv is not None:
@@ -171,7 +190,8 @@ def run_cluster_phase(
                 chrom_seq = genome[nv.chrom]
                 nv.cnv_extension = max(
                     copy_number_variant_length(
-                        seq, chrom_seq, nv.end, kmer_size
+                        seq, chrom_seq, nv.end, kmer_size,
+                        threshold=cnv_threshold,
                     )
                     for seq in [nv.ref] + nv.alts
                 )
@@ -186,20 +206,39 @@ def run_cluster_phase(
         all_clusters.extend(cls)
     for i, cl in enumerate(all_clusters):
         cl.cluster_id = i
+    for cls in clusters_by_chrom.values():
+        # parent/children links are per-chromosome list indices until here
+        finalize_cluster_links(cls)
+        mark_group_dependencies(cls)
+    num_groups = len({(cl.chrom, cl.group_id) for cl in all_clusters})
+    num_nested = sum(1 for cl in all_clusters if cl.parent_id >= 0)
     _log(
         f"Parsed {stats['parsed']} variants into {len(all_clusters)} clusters "
+        f"in {num_groups} groups ({num_nested} nested) "
         f"(excluded: { {k: v for k, v in stats.items() if k != 'parsed'} })"
     )
 
-    # 2. compile clusters: paths + kmer matrices
-    compiled = []
-    for cl in all_clusters:
-        compiled.append(
-            compile_cluster(
-                cl, genome[cl.chrom], kmer_size, sample_blooms,
-                max_sample_haplotypes,
-            )
+    # 2. compile clusters: paths + kmer matrices (thread pool over clusters —
+    # the numpy kernels inside release the GIL; replaces the reference's
+    # strided `-p` thread pool, KmerCounter.cpp:61-67)
+    by_id = {cl.cluster_id: cl for cl in all_clusters}
+
+    def _compile(cl):
+        spans = [
+            (by_id[cid].start, by_id[cid].end - 1) for cid in cl.children_ids
+        ]
+        return compile_cluster(
+            cl, genome[cl.chrom], kmer_size, sample_blooms,
+            max_sample_haplotypes, child_spans=spans,
         )
+
+    if num_threads > 1 and len(all_clusters) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            compiled = list(pool.map(_compile, all_clusters))
+    else:
+        compiled = [_compile(cl) for cl in all_clusters]
     _log(f"Compiled {len(compiled)} cluster graphs")
 
     # 3. multigroup exclusion: kmers whose paths span >1 cluster group
@@ -246,6 +285,10 @@ def run_cluster_phase(
     inter_f = np.zeros(len(all_path_union), dtype=np.int32)
     inter_m = np.zeros(len(all_path_union), dtype=np.int32)
     decoy_hit = np.zeros(len(all_path_union), dtype=bool)
+    # raw genome-occurrence count feeding the has_max_multiplicity exclusion
+    # (KmerCounts.cpp:100-104: +1 haploid multiplicity per intercluster
+    # occurrence, decoys included; >127 total excludes the kmer)
+    occ_count = np.zeros(len(all_path_union), dtype=np.int64)
 
     # parameter kmers: region kmers not in any cluster path; reservoir-free
     # Bernoulli subsample with post-hoc multiplicity counting
@@ -264,11 +307,13 @@ def run_cluster_phase(
             mhit = idx[:0]
         if genome.is_decoy(chrom):
             decoy_hit[mhit] = True
+            np.add.at(occ_count, mhit, 1)
             # parameter candidates never come from decoys here; decoy kmers
             # are kept unconditionally by the reference (KmerCounter.cpp:171-250)
             continue
         np.add.at(inter_f, mhit, pf)
         np.add.at(inter_m, mhit, pm)
+        np.add.at(occ_count, mhit, 1)
         cand = ~hit
         if sample_rate < 1.0:
             cand &= rng.random(len(hi)) < sample_rate
@@ -317,7 +362,15 @@ def run_cluster_phase(
         midx = all_path_union.lookup(c.kmer_hi, c.kmer_lo)
         safe = np.maximum(midx, 0)
         ex_decoy = np.where(midx >= 0, decoy_hit[safe], False)
-        keep = member_any & ~ex_multi & ~ex_decoy
+        # has_max_multiplicity (KmerCounts.cpp:153-158): genome occurrences
+        # plus the cluster's max path multiplicity overflowing 127 excludes
+        # hyper-repetitive kmers from genotyping
+        total_mult = (
+            np.where(midx >= 0, occ_count[safe], 0)
+            + c.mult.max(axis=1).astype(np.int64)
+        )
+        ex_maxmult = total_mult > MAX_HAPLOID_MULTIPLICITY
+        keep = member_any & ~ex_multi & ~ex_decoy & ~ex_maxmult
         keep = _cap_haplotype_variant_kmers(c, keep, rng)
         inter_f_c = np.where(midx >= 0, inter_f[safe], 0)[keep]
         inter_m_c = np.where(midx >= 0, inter_m[safe], 0)[keep]
@@ -335,6 +388,13 @@ def run_cluster_phase(
                 inter_mult_male=np.minimum(inter_m_c, 255).astype(np.uint8),
                 non_covered_alleles=c.non_covered_alleles,
                 num_excluded=int((member_any & ~keep).sum()),
+                group_id=c.group_id,
+                group_size=c.group_size,
+                group_region=c.group_region,
+                parent_id=c.parent_id,
+                children_ids=list(c.children_ids),
+                depth=c.depth,
+                retains=c.retains,
             )
         )
 
@@ -347,6 +407,8 @@ def run_cluster_phase(
         param_mult_female=mult_f,
         param_mult_male=mult_m,
         exclusion_stats=dict(stats),
+        multigroup_hi=multigroup.hi,
+        multigroup_lo=multigroup.lo,
     )
 
 
@@ -364,6 +426,14 @@ class FinalizedCluster:
     inter_mult_male: np.ndarray
     non_covered_alleles: list
     num_excluded: int
+    # group / containment structure (VariantClusterGroup)
+    group_id: int = -1
+    group_size: int = 1
+    group_region: str = ""
+    parent_id: int = -1
+    children_ids: list = dataclasses.field(default_factory=list)
+    depth: int = 0
+    retains: np.ndarray | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -378,23 +448,37 @@ class GenotypeOptions:
     kmer_subsampling_rate: float = KMER_SUBSAMPLING_RATE
     min_genotype_posterior: float = MIN_GENOTYPE_POSTERIOR
     min_number_of_kmers: float = MIN_NUMBER_OF_KMERS
+    max_haplotype_variant_kmers: int = 500
     disable_observed_kmers: bool = False
     noise_rate_prior: tuple = (NOISE_RATE_PRIOR_SHAPE, NOISE_RATE_PRIOR_SCALE)
     noise_genotyping: bool = False
     random_seed: int = 1
     max_bucket_clusters: int = 512
+    num_host_threads: int = 1
 
 
-def gather_sample_counts(unit: InferenceUnitData, samples):
+def _needs_cap(fcs, cap: int) -> bool:
+    """Static gate for the exact per-chain kmer cap: the cap can only bind
+    when some (haplotype, variant) pool exceeds it."""
+    return any(
+        fc.member.shape[0] > cap and int(fc.member.sum(axis=0).max(initial=0)) > cap
+        for fc in fcs
+    )
+
+
+def gather_sample_counts(unit: InferenceUnitData, samples, num_threads: int = 1):
     """Stream each sample's KMC table and collect counts for member +
-    parameter k-mers (parseSampleKmers, KmerCounter.cpp:388-524, without the
-    thread pipeline — one vectorised lookup per batch)."""
+    parameter k-mers (parseSampleKmers, KmerCounter.cpp:388-524; the `-p`
+    thread pipeline becomes a thread pool over samples — each worker fills a
+    disjoint counts column)."""
     table = LaneTable.from_unsorted_unique(
         np.concatenate([c.kmer_hi for c in unit.compiled] + [unit.param_hi]),
         np.concatenate([c.kmer_lo for c in unit.compiled] + [unit.param_lo]),
     )
     counts = np.zeros((len(table), len(samples)), dtype=np.uint8)
-    for si, sample in enumerate(samples):
+
+    def _one(si_sample):
+        si, sample = si_sample
         reader = KmcReader(sample.kmc_prefix)
         n_hit = 0
         for hi, lo, cnt in reader.batches():
@@ -405,6 +489,15 @@ def gather_sample_counts(unit: InferenceUnitData, samples):
         reader.close()
         _log(f"Sample {sample.name}: matched {n_hit} kmers "
              f"({reader.info.total_kmers} in table)")
+
+    if num_threads > 1 and len(samples) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            list(pool.map(_one, enumerate(samples)))
+    else:
+        for item in enumerate(samples):
+            _one(item)
     return table, counts
 
 
@@ -504,29 +597,26 @@ def _cluster_to_dict(fc: FinalizedCluster, samples, ploidy_model, counts,
 
 def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
                    opts: GenotypeOptions):
-    """Noise rate estimation over single-cluster groups
-    (estimateNoise, InferenceEngine.cpp:135-276). Runs the modal size class
-    (covers the vast majority of variants; TODO(all-classes))."""
+    """Noise rate estimation over single-cluster groups of EVERY size class
+    (estimateNoise, InferenceEngine.cpp:135-276; group selection :141-151
+    has no size restriction). Clusters are bucketed per size class and all
+    classes run inside one compiled chain whose per-iteration gamma update
+    pools the sufficient statistics across classes (noise_chain_multi)."""
     import jax
     import jax.numpy as jnp
     from .model.buckets import build_bucket
-    from .model.gibbs import GibbsConfig, make_outcome_space, noise_chain
+    from .model.gibbs import (
+        GibbsConfig, make_outcome_space, noise_chain_multi,
+    )
     from .ops.distributions import np_build_count_log_prob_tables
 
     rng = np.random.default_rng(opts.random_seed)
     if not unit.compiled:
         raise ValueError("no clusters to estimate noise from")
-    # every cluster is a single-cluster group here (flattened containment),
-    # so the whole unit qualifies (estimateNoise picks single-cluster groups,
-    # InferenceEngine.cpp:141-151). All size classes are padded into one
-    # common superset so the per-iteration noise coupling spans them inside
-    # one compiled scan; clusters too large for the superset cap are skipped.
-    max_k, max_h, max_v = 1024, 32, 16
-    pool = [
-        fc for fc in unit.compiled
-        if len(fc.kmer_hi) <= max_k and fc.hap_allele.shape[0] <= max_h
-        and len(fc.variants) <= max_v
-    ]
+    # every cluster whose group has exactly one cluster qualifies; nested
+    # groups (parent or child) are excluded like the reference's
+    # numberOfVariantClusters() == 1 check
+    pool = [fc for fc in unit.compiled if _is_single_cluster_group(fc)]
     if not pool:
         pool = list(unit.compiled)[:1]
     rng.shuffle(pool)
@@ -538,51 +628,124 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
         batch.append(fc)
         num_vars += len(fc.variants)
 
-    h = max(_pow2_at_least(fc.hap_allele.shape[0], 2) for fc in batch)
-    k = max(_step_at_least(max(len(fc.kmer_hi), 1), 256, 4) for fc in batch)
-    v = max(_step_at_least(len(fc.variants), 1, 4) for fc in batch)
-    c_pad = _pow2_at_least(len(batch), 1)
-    dicts = [
-        _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
-        for fc in batch
-    ]
-    bucket = build_bucket(dicts, (c_pad, k, h, v), len(samples)).device_arrays()
+    by_class = defaultdict(list)
+    for fc in batch:
+        by_class[_size_class(fc)].append(fc)
 
     tables = jnp.asarray(
         np_build_count_log_prob_tables(
             nb_params.p, nb_params.size, np.full(len(samples), 1e-3), 255
         )
     )
-    outcomes = make_outcome_space(h)
-    max_tot = int(
-        min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in batch)
-            + max(1, max(int(fc.inter_mult_female.max(initial=0)) for fc in batch)))
-    )
-    cfg = GibbsConfig(
-        num_chains=1, burn_in=opts.burn_in, num_samples=opts.num_samples,
-        kmer_subsampling_rate=opts.kmer_subsampling_rate,
-        max_total_mult=_step_at_least(max_tot, 8, 4),
-    )
+
+    buckets, outcomes_list, cfgs = [], [], []
+    for (h, k, v, a), fcs in sorted(by_class.items()):
+        c_pad = _pow2_at_least(len(fcs), 1)
+        dicts = [
+            _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
+            for fc in fcs
+        ]
+        buckets.append(
+            build_bucket(dicts, (c_pad, k, h, v), len(samples)).device_arrays()
+        )
+        outcomes_list.append(make_outcome_space(h))
+        max_tot = int(
+            min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in fcs)
+                + max(1, max(int(fc.inter_mult_female.max(initial=0))
+                             for fc in fcs)))
+        )
+        cfgs.append(GibbsConfig(
+            num_chains=1, burn_in=opts.burn_in, num_samples=opts.num_samples,
+            kmer_subsampling_rate=opts.kmer_subsampling_rate,
+            max_total_mult=_step_at_least(max_tot, 8, 4),
+            max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
+            apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
+        ))
+    _log(f"Estimating noise from {num_vars} variants in {len(buckets)} "
+         f"size classes")
 
     shape, scale = opts.noise_rate_prior
     key = jax.random.PRNGKey(opts.random_seed)
     # dispatch all chains asynchronously, sync once at the end
     results = []
+    inits = []
     for chain in range(opts.num_chains):
         k_init = jax.random.fold_in(jax.random.fold_in(key, 77), chain)
         init_rates = jax.random.gamma(
             k_init, shape, (len(samples),)
         ) * scale
-        results.append(noise_chain(
-            key, bucket, tables, init_rates, (shape, scale), outcomes, cfg,
-            chain_idx=chain,
+        inits.append(init_rates)
+        results.append(noise_chain_multi(
+            key, tuple(buckets), tables, init_rates, (shape, scale),
+            tuple(outcomes_list), tuple(cfgs), chain_idx=chain,
         ))
-    results = jax.device_get(results)
+    results, inits = jax.device_get((results, inits))
     rate_sum = np.sum([rs for rs, _ in results], axis=0)
-    traces = [trace for _, trace in results]
+    # traces include the initial rates as iteration 0 (noise dump format,
+    # InferenceEngine.cpp:205)
+    traces = [
+        np.concatenate([np.asarray(init)[None], np.asarray(trace)], axis=0)
+        for init, (_, trace) in zip(inits, results)
+    ]
     mean_rates = rate_sum / (opts.num_samples * opts.num_chains)
     _log(f"Estimated noise rates: {mean_rates}")
     return mean_rates, np.stack(traces)
+
+
+def _is_single_cluster_group(fc) -> bool:
+    """True when the cluster forms a single-cluster group (the only kind the
+    noise phase uses, InferenceEngine.cpp:141-151)."""
+    return getattr(fc, "group_size", 1) == 1
+
+
+def _output_prefix(out_path: str) -> str:
+    for suffix in (".vcf.gz", ".vcf"):
+        if out_path.endswith(suffix):
+            return out_path[: -len(suffix)]
+    return out_path
+
+
+def write_genomic_parameters(prefix: str, samples, nb_params):
+    """<prefix>_genomic_parameters.txt — Sample/Mean/Variance of the fitted
+    NB per sample (CountDistribution.cpp:70-133); consumed downstream by
+    `filter --kmer-coverage-file` (Filter.cpp:70-103)."""
+    from .writer import fmt_g
+
+    path = prefix + "_genomic_parameters.txt"
+    with open(path, "w") as fh:
+        fh.write("Sample\tMean\tVariance\n")
+        for si, sample in enumerate(samples):
+            fh.write(
+                f"{sample.name}\t{fmt_g(nb_params.mean[si])}\t"
+                f"{fmt_g(nb_params.var[si])}\n"
+            )
+    _log(f"Wrote genomic parameters to {path}")
+    return path
+
+
+def write_noise_parameters(prefix: str, samples, traces, mean_rates):
+    """<prefix>_noise_parameters.txt — per chain x iteration noise-rate
+    traces plus the final averaged row `0 0 <rates>`
+    (InferenceEngine.cpp:157-266).
+
+    traces: [chains, iters+1, S] including the initial rates as iteration 0.
+    """
+    from .writer import fmt_g
+
+    path = prefix + "_noise_parameters.txt"
+    with open(path, "w") as fh:
+        fh.write("Chain\tIteration")
+        for sample in samples:
+            fh.write(f"\t{sample.name}")
+        fh.write("\n")
+        for ci in range(traces.shape[0]):
+            for it in range(traces.shape[1]):
+                row = "\t".join(fmt_g(x) for x in traces[ci, it])
+                fh.write(f"{ci + 1}\t{it}\t{row}\n")
+        row = "\t".join(fmt_g(x) for x in mean_rates)
+        fh.write(f"0\t0\t{row}\n")
+    _log(f"Wrote noise parameters to {path}")
+    return path
 
 
 def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
@@ -600,16 +763,19 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     opts = opts or GenotypeOptions()
     rng = np.random.default_rng(opts.random_seed)
 
-    table, counts = gather_sample_counts(unit, samples)
+    table, counts = gather_sample_counts(unit, samples, opts.num_host_threads)
 
     pstats = parameter_kmer_stats(unit, samples, table, counts)
     nb_params = fit_genomic_nb(pstats)
     _log(f"NB fit: mean={nb_params.mean} var={nb_params.var} "
          f"(modal multiplicity {nb_params.modal_multiplicity})")
+    prefix = _output_prefix(out_path)
+    write_genomic_parameters(prefix, samples, nb_params)
 
-    noise_rates, _ = estimate_noise(
+    noise_rates, noise_traces = estimate_noise(
         unit, samples, table, counts, ploidy_model, nb_params, opts
     )
+    write_noise_parameters(prefix, samples, noise_traces, noise_rates)
 
     tables = jnp.asarray(
         np_build_count_log_prob_tables(
@@ -626,8 +792,15 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
         out_path, genome, [s.name for s in samples], command_lines
     )
 
+    singles = [
+        fc for fc in unit.compiled if getattr(fc, "group_size", 1) == 1
+    ]
+    nested = [
+        fc for fc in unit.compiled if getattr(fc, "group_size", 1) > 1
+    ]
+
     by_class = defaultdict(list)
-    for fc in unit.compiled:
+    for fc in singles:
         by_class[_size_class(fc)].append(fc)
 
     key = jax.random.PRNGKey(opts.random_seed)
@@ -648,6 +821,8 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             num_samples=opts.num_samples,
             kmer_subsampling_rate=opts.kmer_subsampling_rate,
             max_total_mult=max_tot,
+            max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
+            apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
         )
         # one-deep software pipeline: the device runs bucket N while the
         # host builds bucket N+1 and renders bucket N-1 (dispatch is async;
@@ -679,6 +854,13 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             num_genotyped += sum(len(fc.variants) for fc in pending[0])
             _log(f"Genotyped {num_genotyped} variants")
 
+    if nested:
+        num_genotyped += _genotype_nested_set(
+            nested, samples, ploidy_model, counts, table, tables, filters,
+            writer, opts, rng, key,
+        )
+        _log(f"Genotyped {num_genotyped} variants")
+
     n = writer.finalise()
     _log(f"Wrote {n} variants to {out_path}")
     return {
@@ -687,6 +869,164 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
         "nb_mean": nb_params.mean,
         "nb_var": nb_params.var,
     }
+
+
+def _genotype_nested_set(nested, samples, ploidy_model, counts, table,
+                         tables, filters, writer, opts, rng, key):
+    """Genotype nested cluster-group families: clusters laid out by
+    containment depth, children sampled conditionally on their parent's
+    outcome with ploidy demotion (genotype_nested; the reference's
+    VariantClusterGroup::runGibbsSample DAG recursion)."""
+    import jax.numpy as jnp
+    from .model.buckets import build_bucket
+    from .model.gibbs import (
+        GibbsConfig, genotype_nested, make_outcome_space,
+    )
+    from .model.stats import collect_bucket_stats
+
+    max_depth = max(fc.depth for fc in nested)
+    levels = [
+        [fc for fc in nested if fc.depth == l] for l in range(max_depth + 1)
+    ]
+    assert all(levels), "nested set missing a containment level"
+    by_id = {fc.cluster_id: fc for fc in nested}
+
+    buckets, outcomes_list, cfgs, caps_a = [], [], [], []
+    h_pads = []
+    for fcs in levels:
+        h = max(_pow2_at_least(fc.hap_allele.shape[0], 2) for fc in fcs)
+        k = max(_step_at_least(max(len(fc.kmer_hi), 1), 256, 4) for fc in fcs)
+        v = max(_step_at_least(len(fc.variants), 1, 4) for fc in fcs)
+        a = max(
+            _step_at_least(max(x.num_alleles for x in fc.variants), 2, 2)
+            for fc in fcs
+        )
+        c_pad = _pow2_at_least(len(fcs), 1)
+        dicts = [
+            _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
+            for fc in fcs
+        ]
+        buckets.append(
+            build_bucket(dicts, (c_pad, k, h, v), len(samples)).device_arrays()
+        )
+        outcomes_list.append(make_outcome_space(h))
+        max_tot = _step_at_least(
+            min(
+                255,
+                2 * max(int(fc.mult.max(initial=1)) for fc in fcs)
+                + max(int(fc.inter_mult_female.max(initial=0)) for fc in fcs)
+                + max(int(fc.inter_mult_male.max(initial=0)) for fc in fcs),
+            ),
+            8, 4,
+        )
+        cfgs.append(GibbsConfig(
+            num_chains=opts.num_chains, burn_in=opts.burn_in,
+            num_samples=opts.num_samples,
+            kmer_subsampling_rate=opts.kmer_subsampling_rate,
+            max_total_mult=max_tot,
+            max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
+            apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
+        ))
+        caps_a.append(a)
+        h_pads.append(h)
+
+    parent_rows = [jnp.zeros(buckets[0].num_clusters, jnp.int32)]
+    retain_tables = [
+        jnp.zeros((buckets[0].num_clusters, outcomes_list[0].num_outcomes),
+                  jnp.int8)
+    ]
+    for l in range(1, len(levels)):
+        prev_rows = {fc.cluster_id: i for i, fc in enumerate(levels[l - 1])}
+        o_prev = outcomes_list[l - 1]
+        h_prev = h_pads[l - 1]
+        c_pad = buckets[l].num_clusters
+        rows = np.zeros(c_pad, np.int32)
+        rt = np.zeros((c_pad, o_prev.num_outcomes), np.int8)
+        for i, fc in enumerate(levels[l]):
+            parent = by_id[fc.parent_id]
+            rows[i] = prev_rows[fc.parent_id]
+            col = parent.children_ids.index(fc.cluster_id)
+            r_ext = np.zeros(h_prev + 1, bool)  # sentinel slot stays False
+            r_ext[: parent.retains.shape[0]] = parent.retains[:, col]
+            rt[i] = (
+                r_ext[o_prev.oa].astype(np.int8)
+                + r_ext[o_prev.ob].astype(np.int8)
+            )
+        parent_rows.append(jnp.asarray(rows))
+        retain_tables.append(jnp.asarray(rt))
+
+    tallies, ws = genotype_nested(
+        key, tuple(buckets), tuple(parent_rows), tuple(retain_tables),
+        tables, tuple(outcomes_list), tuple(cfgs),
+    )
+
+    num = 0
+    prev_stats = None
+    prev_fcs = None
+    for l, fcs in enumerate(levels):
+        missing_stats = None
+        if l > 0:
+            missing_stats = _nested_missing_stats(
+                fcs, prev_fcs, prev_stats, by_id, buckets[l].num_clusters,
+                len(samples),
+            )
+        stats = collect_bucket_stats(
+            buckets[l], outcomes_list[l], tallies[l], ws[l], filters,
+            allele_capacity=caps_a[l], mac_top_t=8,
+            missing_stats=missing_stats,
+        )
+        import jax
+
+        stats = jax.device_get(stats)
+        _emit_records(writer, fcs, stats, samples, ploidy_model)
+        num += sum(len(fc.variants) for fc in fcs)
+        prev_stats, prev_fcs = stats, fcs
+    return num
+
+
+def _nested_missing_stats(fcs, parent_fcs, parent_stats, by_id, c_pad,
+                          num_samples):
+    """Per-(child cluster, sample) NAK/FAK/MAC handed down from the parent's
+    demoting allele (the allele on non-retaining haplotypes at the parent
+    variant spanning the child; addNestedKmerStats,
+    VariantClusterGenotyper.cpp:154-180). The allele is chosen per sample as
+    the non-retaining allele with the highest parent APP."""
+    import jax.numpy as jnp
+
+    prev_rows = {fc.cluster_id: i for i, fc in enumerate(parent_fcs)}
+    nak_m = np.zeros((c_pad, num_samples), np.float32)
+    fak_m = np.full((c_pad, num_samples), -1.0, np.float32)
+    mac_m = np.full((c_pad, num_samples), -1.0, np.float32)
+    p_nak = np.asarray(parent_stats.nak)   # [Cp, S, Vp, A]
+    p_fak = np.asarray(parent_stats.fak)
+    p_mac = np.asarray(parent_stats.mac)
+    p_app = np.asarray(parent_stats.app)
+
+    for i, fc in enumerate(fcs):
+        parent = by_id[fc.parent_id]
+        prow = prev_rows[fc.parent_id]
+        col = parent.children_ids.index(fc.cluster_id)
+        child_start = min(v.pos for v in fc.variants)
+        child_end = max(v.end for v in fc.variants)
+        v_star = 0
+        for vi, pv in enumerate(parent.variants):
+            if pv.pos <= child_start and pv.end >= child_end:
+                v_star = vi
+                break
+        h_real = parent.retains.shape[0]
+        nonret = sorted({
+            int(parent.hap_allele[h, v_star])
+            for h in range(h_real)
+            if not parent.retains[h, col]
+        })
+        if not nonret:
+            continue
+        for s in range(num_samples):
+            a_star = max(nonret, key=lambda a: p_app[prow, s, v_star, a])
+            nak_m[i, s] = p_nak[prow, s, v_star, a_star]
+            fak_m[i, s] = p_fak[prow, s, v_star, a_star]
+            mac_m[i, s] = p_mac[prow, s, v_star, a_star]
+    return (jnp.asarray(nak_m), jnp.asarray(fak_m), jnp.asarray(mac_m))
 
 
 def _emit_records(writer, chunk, stats, samples, ploidy_model):
@@ -715,8 +1055,8 @@ def _emit_records(writer, chunk, stats, samples, ploidy_model):
                     has_dependency=var.has_dependency,
                     cluster_size=len(fc.variants),
                     cluster_region=region,
-                    group_size=1,
-                    group_region=region,
+                    group_size=getattr(fc, "group_size", 1),
+                    group_region=getattr(fc, "group_region", "") or region,
                     num_candidates=fc.hap_allele.shape[0],
                     non_covered_alleles=fc.non_covered_alleles[vi],
                     ploidies=ploidies,
@@ -749,13 +1089,23 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
 
     rng = np.random.default_rng(opts.random_seed)
     if table is None:
-        table, counts = gather_sample_counts(unit, samples)
+        table, counts = gather_sample_counts(unit, samples, opts.num_host_threads)
     if nb_params is None:
         pstats = parameter_kmer_stats(unit, samples, table, counts)
         nb_params = fit_genomic_nb(pstats)
         _log(f"NB fit: mean={nb_params.mean} var={nb_params.var}")
 
-    fcs = list(unit.compiled)
+    # nested groups need conditional parent->child sampling; they are
+    # genotyped after the joint phase with the joint-estimated noise frozen
+    # (the per-iteration noise feedback of rare nested groups is negligible;
+    # PARITY.md "Nested clusters")
+    fcs = [fc for fc in unit.compiled if getattr(fc, "group_size", 1) == 1]
+    nested = [
+        fc for fc in unit.compiled if getattr(fc, "group_size", 1) > 1
+    ]
+    if not fcs:
+        fcs = list(unit.compiled)
+        nested = []
     h = max(_pow2_at_least(fc.hap_allele.shape[0], 2) for fc in fcs)
     k = max(_pow2_at_least(max(len(fc.kmer_hi), 1), 32) for fc in fcs)
     v = max(_pow2_at_least(len(fc.variants), 1) for fc in fcs)
@@ -783,6 +1133,8 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
         num_chains=1, burn_in=opts.burn_in, num_samples=opts.num_samples,
         kmer_subsampling_rate=opts.kmer_subsampling_rate,
         max_total_mult=max_tot,
+        max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
+        apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
     )
 
     shape, scale = opts.noise_rate_prior
@@ -797,7 +1149,9 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
         )
         tallies.append(tally)
         ws.append(w)
-        traces.append(np.asarray(trace))
+        traces.append(np.concatenate(
+            [np.asarray(init_rates)[None], np.asarray(trace)], axis=0
+        ))
         _log(f"Finished {chain + 1} gibbs sampling chain"
              f"{'s' if chain else ''}")
 
@@ -811,10 +1165,26 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     stats = collect_bucket_stats(
         bucket, outcomes, tally, w, filters, allele_capacity=a, mac_top_t=8,
     )
+    prefix = _output_prefix(out_path)
+    write_genomic_parameters(prefix, samples, nb_params)
+    trace_arr = np.stack(traces)
+    mean_rates = trace_arr[:, 1 + opts.burn_in :, :].mean(axis=(0, 1))
+    write_noise_parameters(prefix, samples, trace_arr, mean_rates)
+
     writer = GenotypeVcfWriter(
         out_path, genome, [s.name for s in samples], command_lines
     )
     _emit_records(writer, fcs, stats, samples, ploidy_model)
+    if nested:
+        frozen_tables = jnp.asarray(
+            np_build_count_log_prob_tables(
+                nb_params.p, nb_params.size, mean_rates, 255
+            )
+        )
+        _genotype_nested_set(
+            nested, samples, ploidy_model, counts, table, frozen_tables,
+            filters, writer, opts, rng, key,
+        )
     n = writer.finalise()
     _log(f"Wrote {n} variants to {out_path}")
     return {
@@ -823,6 +1193,52 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
         "nb_mean": nb_params.mean,
         "nb_var": nb_params.var,
     }
+
+
+def write_cluster_data_artifacts(output_prefix: str, unit: InferenceUnitData,
+                                 genome):
+    """Emit the reference's shared `<prefix>_cluster_data/` artifact set
+    (main.cpp:306-353): intercluster_regions.txt.gz
+    (chrom/is_decoy/start/end inclusive, VariantFileParser.cpp:1190-1211),
+    parameter_kmers.fa.gz (">k<size>" header + one kmer per line,
+    KmerHash.cpp:138-170), and multigroup_kmers.bloomMeta/.bloomData
+    (reference ntHash bloom, fpr 0.0001)."""
+    import gzip
+    import os
+
+    from .ops.kmers import _DECODE
+    from .ops.nthash import ReferenceKmerBloom, lanes_to_codes
+
+    d = output_prefix + "_cluster_data"
+    os.makedirs(d, exist_ok=True)
+    k = unit.kmer_size
+
+    with gzip.open(os.path.join(d, "intercluster_regions.txt.gz"), "wt") as fh:
+        for chrom, start, end in unit.regions:
+            fh.write(
+                f"{chrom}\t{int(genome.is_decoy(chrom))}\t{start}\t{end - 1}\n"
+            )
+
+    with gzip.open(os.path.join(d, "parameter_kmers.fa.gz"), "wt") as fh:
+        fh.write(f">k{k}\n")
+        if len(unit.param_hi):
+            codes = lanes_to_codes(unit.param_hi, unit.param_lo, k)
+            for row in _DECODE[codes]:
+                fh.write(row.tobytes().decode() + "\n")
+
+    mhi = getattr(unit, "multigroup_hi", None)
+    mlo = getattr(unit, "multigroup_lo", None)
+    if mhi is None:
+        mhi = np.zeros(0, np.uint64)
+        mlo = np.zeros(0, np.uint64)
+    bloom = ReferenceKmerBloom.with_optimal_parameters(
+        max(len(mhi), 1), 0.0001, k
+    )
+    if len(mhi):
+        bloom.add(mhi, mlo)
+    bloom.save(os.path.join(d, "multigroup_kmers"))
+    _log(f"Wrote cluster data artifacts to {d}/")
+    return d
 
 
 def split_units(unit: InferenceUnitData, min_unit_variants: int):
@@ -842,10 +1258,19 @@ def split_units(unit: InferenceUnitData, min_unit_variants: int):
     units = []
     chunk = []
     count = 0
-    for fc in unit.compiled:
+    compiled = list(unit.compiled)
+    for idx, fc in enumerate(compiled):
         chunk.append(fc)
         count += len(fc.variants)
-        if count >= per_unit and len(units) < num_units - 1:
+        # never split a nested group across units (its clusters are sampled
+        # jointly); cut only at group boundaries
+        nxt = compiled[idx + 1] if idx + 1 < len(compiled) else None
+        same_group = (
+            nxt is not None
+            and nxt.chrom == fc.chrom
+            and nxt.group_id == fc.group_id
+        )
+        if count >= per_unit and len(units) < num_units - 1 and not same_group:
             units.append(chunk)
             chunk = []
             count = 0
@@ -905,6 +1330,8 @@ def concat_vcfs(paths, out_path):
 
 def _cap_haplotype_variant_kmers(compiled_cluster, keep, rng,
                                  cap: int = 10 * 500):
+    # (pool cap; the exact per-chain 500-cap is applied on device by
+    # gibbs.apply_kmer_cap in shuffled order after the Bernoulli draw)
     """Bound the k-mer pool per (haplotype, variant) for giant clusters.
 
     The reference caps the per-chain subset at max-haplotype-variant-kmers

@@ -1,16 +1,26 @@
-"""Variant clustering + intercluster region bookkeeping.
+"""Variant clustering: groups, flank-map clusters, containment forest,
+intercluster regions.
 
-Equivalent of the clustering half of VariantFileParser
-(clusterVariants/mergeVariantClusters, VariantFileParser.cpp:735-1042 and
-addSequenceToInterclusterRegions:173-183): variants whose k-1 influence
-flanks touch are merged into one VariantCluster; the reference sequence
-between clusters (plus decoys) forms the intercluster regions that supply
-parameter k-mers and intercluster multiplicities.
+Equivalent of the clustering half of VariantFileParser:
 
-Round-1 scope note: nested clusters (a variant contained inside another's
-reference span spawning a cluster-group DAG, getVariantClusterGroupDependencies
-VariantFileParser.cpp:1108-1160) are flattened — contained variants join the
-same cluster. TODO(nested): split oversized containments into nested groups.
+  * GROUPS: variants whose k-1 influence regions (incl. CNV tail extensions)
+    chain together form one variant cluster group — the unit the reference
+    closes when `cur_position - cur_group_end_position >= k`
+    (VariantFileParser.cpp:466-470).
+  * CLUSTERS within a group: the flank-map adjacency (clusterVariants,
+    VariantFileParser.cpp:735-978 + mergeVariantClusters:1003-1042) — a
+    variant joins a cluster when its position or one of its per-alt ref end
+    positions is within k of one of that cluster's flank points, or when it
+    spans a flank point. Variants deep inside a long allele (>= k from every
+    flank) form SEPARATE clusters of the same group.
+  * CONTAINMENT forest: a cluster strictly inside another cluster's
+    [start, end] span depends on its smallest container
+    (getVariantClusterGroupDependencies, VariantFileParser.cpp:1108-1160);
+    the Gibbs engine samples children conditionally on the parent's outcome
+    with ploidy demotion (VariantClusterGroup.cpp:236-250).
+  * INTERCLUSTER regions: reference sequence between groups, trimmed so no
+    region k-mer reaches a cluster's influence zone
+    (addSequenceToInterclusterRegions, VariantFileParser.cpp:173-183).
 """
 
 from __future__ import annotations
@@ -25,6 +35,14 @@ class VariantCluster:
     chrom: str
     variants: list = field(default_factory=list)   # NormalizedVariant, pos-sorted
     cluster_id: int = -1
+    # group/containment structure
+    group_id: int = -1
+    group_size: int = 1
+    parent_id: int = -1        # cluster_id of the smallest container, -1 = root
+    children_ids: list = field(default_factory=list)
+    depth: int = 0
+    group_start: int = 0       # group region bounds (over all clusters)
+    group_end: int = 0
 
     @property
     def start(self):
@@ -35,29 +53,209 @@ class VariantCluster:
         return max(v.end for v in self.variants)
 
     @property
+    def influence_end(self):
+        """End of the cluster's k-mer influence incl. copy-number tail
+        extensions (VariantFileParser.cpp:173-183 tracks the CNV-extended
+        region so parameter k-mers avoid duplication-influenced sequence)."""
+        return max(v.influence_end for v in self.variants)
+
+    @property
     def region(self):
         return f"{self.chrom}:{self.start + 1}-{self.end}"
 
+    @property
+    def group_region(self):
+        return f"{self.chrom}:{self.group_start + 1}-{self.group_end}"
 
-def cluster_variants(variants, kmer_size: int = KMER_SIZE):
-    """Group position-sorted variants of one chromosome into clusters.
 
-    Two variants share a cluster when their k-mer influence regions overlap:
-    gap between reference spans < kmer_size (the reference merges via a
-    flank map keyed on pos +- k, VariantFileParser.cpp:735-978).
-    """
-    clusters = []
-    current = None
-    current_end = -(10 * kmer_size)
+def _split_into_groups(variants, kmer_size):
+    """Gap >= k between influence regions closes a group
+    (VariantFileParser.cpp:466-470)."""
+    groups = []
+    current = []
+    current_end = None
     for v in sorted(variants, key=lambda x: x.pos):
-        if current is not None and v.pos < current_end + kmer_size:
-            current.variants.append(v)
+        if current and v.pos - current_end < kmer_size:
+            current.append(v)
             current_end = max(current_end, v.influence_end)
         else:
-            current = VariantCluster(chrom=v.chrom, variants=[v])
-            clusters.append(current)
+            if current:
+                groups.append(current)
+            current = [v]
             current_end = v.influence_end
-    return clusters
+    if current:
+        groups.append(current)
+    return groups
+
+
+class _Cluster:
+    __slots__ = ("variants", "left", "right", "root")
+
+    def __init__(self, v):
+        self.variants = [v]
+        self.left = v.pos
+        self.right = max(v.end_positions)
+        self.root = self
+
+    def find(self):
+        r = self
+        while r.root is not r:
+            r = r.root
+        # path compression
+        c = self
+        while c.root is not r:
+            c.root, c = r, c.root
+        return r
+
+
+def _flank_clusters(group_variants, kmer_size):
+    """Reference flank-map clustering within one group (clusterVariants).
+
+    Returns the list of merged _Cluster roots in position order."""
+    k = kmer_size
+    flanks = {}        # flank position -> _Cluster
+    clusters = []
+
+    for v in group_variants:
+        pos = v.pos
+        ends = v.end_positions
+
+        # drop flanks passed by >= k (VariantFileParser.cpp:742-752)
+        for f in [f for f in flanks if pos - f >= k]:
+            del flanks[f]
+
+        overlaps = []
+        for f, cl in flanks.items():
+            hit = abs(pos - f) + 1 <= k
+            if not hit:
+                for e in ends:
+                    if abs(e - f) + 1 <= k or (pos < f and e > f):
+                        hit = True
+                        break
+            if hit:
+                overlaps.append(cl.find())
+
+        if not overlaps:
+            cl = _Cluster(v)
+            clusters.append(cl)
+        else:
+            # dedupe while keeping first-overlap ordering
+            seen = []
+            for c in overlaps:
+                if c not in seen:
+                    seen.append(c)
+            cl = seen[0]
+            cl.variants.append(v)
+            cl.right = max(cl.right, max(ends))
+            for other in seen[1:]:
+                # union-merge (merge sets, mergeVariantClusters)
+                other.find().root = cl.find()
+
+        for e in ends:
+            flanks[e] = cl
+        if max(ends) - pos >= k:
+            flanks[pos] = cl
+
+    # resolve union-find: merge variant lists into roots
+    final = []
+    for cl in clusters:
+        r = cl.find()
+        if r is cl:
+            final.append(cl)
+        else:
+            r.variants.extend(cl.variants)
+            r.left = min(r.left, cl.left)
+            r.right = max(r.right, cl.right)
+    for cl in final:
+        cl.variants.sort(key=lambda v: (v.pos, -len(v.ref)))
+        cl.left = cl.variants[0].pos
+        cl.right = max(max(v.end_positions) for v in cl.variants)
+    final.sort(key=lambda c: c.left)
+    return final
+
+
+def cluster_variants(variants, kmer_size: int = KMER_SIZE):
+    """Group position-sorted variants of one chromosome into clusters with
+    group + containment structure. Returns VariantClusters in position order;
+    cluster_id is assigned by the caller (ids here are group-local until
+    then, so parent/children links use list indices fixed up afterwards)."""
+    out = []
+    for gid, gvars in enumerate(_split_into_groups(variants, kmer_size)):
+        raw = _flank_clusters(gvars, kmer_size)
+        vcs = [
+            VariantCluster(chrom=gvars[0].chrom, variants=c.variants)
+            for c in raw
+        ]
+        group_start = min(c.left for c in raw)
+        group_end = max(max(v.end for v in vc.variants) for vc in vcs)
+        for vc, c in zip(vcs, raw):
+            vc.group_id = gid
+            vc.group_size = len(vcs)
+            vc.group_start = group_start
+            vc.group_end = group_end
+
+        # containment forest: smallest strictly-containing cluster
+        # (getVariantClusterGroupDependencies, VariantFileParser.cpp:1108-1160)
+        spans = [(c.left, c.right) for c in raw]
+        for i, (li, ri) in enumerate(spans):
+            parent = -1
+            for j, (lj, rj) in enumerate(spans):
+                if i != j and lj < li and ri < rj:
+                    if parent == -1 or (
+                        spans[parent][0] < lj and rj < spans[parent][1]
+                    ):
+                        parent = j
+            vcs[i].parent_id = parent  # group-local index for now
+        for i, vc in enumerate(vcs):
+            if vc.parent_id >= 0:
+                vcs[vc.parent_id].children_ids.append(i)
+        # depths
+        def _depth(i):
+            d = 0
+            p = vcs[i].parent_id
+            while p >= 0:
+                d += 1
+                p = vcs[p].parent_id
+            return d
+
+        for i, vc in enumerate(vcs):
+            vc.depth = _depth(i)
+        out.append(vcs)
+
+    # flatten; remap group-local parent/children indices to positions in the
+    # flat list (caller overwrites cluster_id with global ids and calls
+    # finalize_cluster_links)
+    flat = []
+    for vcs in out:
+        base = len(flat)
+        for vc in vcs:
+            if vc.parent_id >= 0:
+                vc.parent_id += base
+            vc.children_ids = [c + base for c in vc.children_ids]
+        flat.extend(vcs)
+    return flat
+
+
+def finalize_cluster_links(all_clusters):
+    """After the caller assigns global cluster_ids (list order), rewrite
+    parent/children links from list indices to cluster_ids."""
+    for cl in all_clusters:
+        if cl.parent_id >= 0:
+            cl.parent_id = all_clusters[cl.parent_id].cluster_id
+        cl.children_ids = [all_clusters[c].cluster_id for c in cl.children_ids]
+    return all_clusters
+
+
+def mark_group_dependencies(all_clusters):
+    """Set has_dependency on variants of nested (child) clusters: the parent
+    spans them, so they carry the trailing `*` missing allele
+    (VariantInfo.hpp:79-82; demoted copies map to it,
+    haplotypeToAlleleIndex VariantClusterGenotyper.cpp:208-219)."""
+    for cl in all_clusters:
+        if cl.parent_id >= 0:
+            for v in cl.variants:
+                v.has_dependency = True
+    return all_clusters
 
 
 def intercluster_regions(genome, clusters_by_chrom, kmer_size: int = KMER_SIZE):
@@ -81,7 +279,7 @@ def intercluster_regions(genome, clusters_by_chrom, kmer_size: int = KMER_SIZE):
             end = max(cl.start - (kmer_size - 1), start)
             if end - start >= kmer_size:
                 regions.append((chrom, start, end))
-            prev_end = max(prev_end, cl.end + (kmer_size - 1))
+            prev_end = max(prev_end, cl.influence_end + (kmer_size - 1))
         if length - prev_end >= kmer_size:
             regions.append((chrom, prev_end, length))
     return regions

@@ -44,8 +44,15 @@ from .clustering import VariantCluster
 @dataclass
 class HaplotypePath:
     allele_indices: list          # per variant: allele index (missing -> num_alleles-1)
-    seq: str                      # full path sequence incl. k-1 flanks
+    seq: str                      # full path sequence incl. k-1 flanks; 'N'
+                                  # separators mark nested-cluster skips (the
+                                  # reference's disconnected placeholder
+                                  # vertices, VariantClusterGraph.cpp:173-225 —
+                                  # no k-mer crosses the break)
     variant_spans: list           # per variant: (start, end) in path coords, or None
+    retained_children: frozenset = frozenset()  # child indices this path
+                                  # keeps (reference route across the nested
+                                  # region -> no ploidy demotion)
 
 
 @dataclass
@@ -61,6 +68,15 @@ class CompiledCluster:
     mult: np.ndarray              # [K, H] uint8
     member: np.ndarray            # [K, V, H] bool
     non_covered_alleles: list = field(default_factory=list)  # per variant
+    # group / containment structure (VariantClusterGroup)
+    group_id: int = -1
+    group_size: int = 1
+    group_region: str = ""
+    parent_id: int = -1           # cluster_id of the containing cluster
+    children_ids: list = field(default_factory=list)
+    depth: int = 0
+    retains: np.ndarray | None = None  # [H, n_children] bool: haplotype keeps
+                                  # the nested child region (no demotion)
 
 
 def mark_dependencies(variants):
@@ -79,16 +95,37 @@ def mark_dependencies(variants):
     return variants
 
 
+def _fill_reference(chrom_seq, cursor, target, child_spans, retained):
+    """Reference-route gap fill [cursor, target): nested child regions are
+    skipped with an 'N' break (no k-mer crosses; the reference's disconnected
+    vertex semantics, VariantClusterGraph.cpp:173-225) and recorded as
+    retained (the route keeps the child region intact)."""
+    parts = []
+    cur = cursor
+    for idx, (cs, ce) in enumerate(child_spans):
+        if cs >= target or ce < cur or cs < cur:
+            continue
+        parts.append(chrom_seq[cur:cs].decode())
+        parts.append("N")
+        retained.add(idx)
+        cur = ce + 1
+    parts.append(chrom_seq[cur:target].decode())
+    return parts, max(cur, min(target, cur))
+
+
 def enumerate_paths(cluster: VariantCluster, chrom_seq: bytes,
                     kmer_size: int = KMER_SIZE,
                     sample_blooms=None,
                     max_sample_haplotypes: int = MAX_SAMPLE_HAPLOTYPES,
-                    beam_limit: int | None = None):
+                    beam_limit: int | None = None,
+                    child_spans=()):
     """Build candidate haplotype paths for one cluster.
 
     sample_blooms: list of KmerBloomFilter (one per sample) used for beam
     scoring when the allele product exceeds the beam; None = enumerate all up
     to beam_limit and truncate deterministically.
+    child_spans: 0-based INCLUSIVE (start, end) spans of nested child
+    clusters; reference routes across them are segmented and flagged.
     """
     variants = sorted(cluster.variants, key=lambda v: (v.pos, -len(v.ref)))
     flank = kmer_size - 1
@@ -99,23 +136,31 @@ def enumerate_paths(cluster: VariantCluster, chrom_seq: bytes,
         n_samples = len(sample_blooms) if sample_blooms else 1
         beam_limit = max_sample_haplotypes * max(n_samples, 1) * 4
 
-    # partial paths: (allele_indices, seq_parts, cursor, spans)
+    # partial paths: (allele_indices, seq_parts, cursor, spans, retained)
     # cursor = next reference position to consume
-    initial = ([], [chrom_seq[left:variants[0].pos].decode()], variants[0].pos, [])
+    initial = ([], [chrom_seq[left:variants[0].pos].decode()],
+               variants[0].pos, [], frozenset())
     beams = [initial]
 
     for vi, v in enumerate(variants):
         new_beams = []
-        for alleles, parts, cursor, spans in beams:
+        for alleles, parts, cursor, spans, retained in beams:
             if v.pos < cursor:
                 # overlapped by an upstream allele already consumed past here:
                 # missing allele if the variant carries one, else ref-as-consumed
                 idx = v.num_alleles - 1 if v.has_dependency else 0
-                new_beams.append((alleles + [idx], parts, cursor, spans + [None]))
+                new_beams.append(
+                    (alleles + [idx], parts, cursor, spans + [None], retained)
+                )
                 continue
-            gap = chrom_seq[cursor : v.pos].decode()
+            ret = set(retained)
+            gap_parts, _ = _fill_reference(
+                chrom_seq, cursor, v.pos, child_spans, ret
+            )
+            ret = frozenset(ret)
+            gap_len = sum(len(p) for p in gap_parts)
             for a_idx in range(1 + len(v.alts)):
-                pos_in_path = sum(len(p) for p in parts) + len(gap)
+                pos_in_path = sum(len(p) for p in parts) + gap_len
                 if a_idx == 0:
                     # reference allele consumes nothing: downstream gap fill
                     # provides the reference bases, so variants interior to
@@ -125,9 +170,10 @@ def enumerate_paths(cluster: VariantCluster, chrom_seq: bytes,
                     new_beams.append(
                         (
                             alleles + [0],
-                            parts + [gap],
+                            parts + gap_parts,
                             v.pos,
                             spans + [(pos_in_path, pos_in_path + len(v.ref))],
+                            ret,
                         )
                     )
                     continue
@@ -135,9 +181,10 @@ def enumerate_paths(cluster: VariantCluster, chrom_seq: bytes,
                 new_beams.append(
                     (
                         alleles + [a_idx],
-                        parts + [gap, seq],
+                        parts + gap_parts + [seq],
                         v.end,
                         spans + [(pos_in_path, pos_in_path + len(seq))],
+                        ret,
                     )
                 )
         beams = new_beams
@@ -148,8 +195,11 @@ def enumerate_paths(cluster: VariantCluster, chrom_seq: bytes,
 
     paths = []
     seen = set()
-    for alleles, parts, cursor, spans in beams:
-        tail = chrom_seq[cursor:right].decode()
+    for alleles, parts, cursor, spans, retained in beams:
+        ret = set(retained)
+        tail_parts, _ = _fill_reference(
+            chrom_seq, cursor, right, child_spans, ret
+        )
         key = tuple(alleles)
         if key in seen:
             continue
@@ -157,8 +207,9 @@ def enumerate_paths(cluster: VariantCluster, chrom_seq: bytes,
         paths.append(
             HaplotypePath(
                 allele_indices=list(alleles),
-                seq="".join(parts) + tail,
+                seq="".join(parts) + "".join(tail_parts),
                 variant_spans=list(spans),
+                retained_children=frozenset(ret),
             )
         )
     return paths
@@ -180,7 +231,7 @@ def _prune_beams(beams, sample_blooms, kmer_size, max_sample_haplotypes, beam_li
     (two-phase filterPaths analogue, VariantClusterGraph.cpp:631-724)."""
     if not sample_blooms:
         return beams[:beam_limit]
-    seqs = ["".join(parts) for _, parts, _, _ in beams]
+    seqs = ["".join(parts) for _, parts, _, _, _ in beams]
     keep = set()
     for bloom in sample_blooms:
         scores = np.array([_bloom_score(s, bloom, kmer_size) for s in seqs])
@@ -193,17 +244,27 @@ def _prune_beams(beams, sample_blooms, kmer_size, max_sample_haplotypes, beam_li
 def compile_cluster(cluster: VariantCluster, chrom_seq: bytes,
                     kmer_size: int = KMER_SIZE,
                     sample_blooms=None,
-                    max_sample_haplotypes: int = MAX_SAMPLE_HAPLOTYPES) -> CompiledCluster:
-    """Paths -> k-mer multiplicity matrix + member tensor."""
+                    max_sample_haplotypes: int = MAX_SAMPLE_HAPLOTYPES,
+                    child_spans=()) -> CompiledCluster:
+    """Paths -> k-mer multiplicity matrix + member tensor.
+
+    child_spans: inclusive (start, end) spans of nested child clusters (one
+    per entry of cluster.children_ids, same order)."""
     variants = mark_dependencies(
         sorted(cluster.variants, key=lambda v: (v.pos, -len(v.ref)))
     )
     paths = enumerate_paths(
-        cluster, chrom_seq, kmer_size, sample_blooms, max_sample_haplotypes
+        cluster, chrom_seq, kmer_size, sample_blooms, max_sample_haplotypes,
+        child_spans=child_spans,
     )
     h = len(paths)
     v = len(variants)
     assert h > 0
+    n_children = len(child_spans)
+    retains = np.zeros((h, n_children), dtype=bool)
+    for pi, p in enumerate(paths):
+        for idx in p.retained_children:
+            retains[pi, idx] = True
 
     hap_allele = np.zeros((h, v), dtype=np.int16)
     per_path = []
@@ -277,6 +338,13 @@ def compile_cluster(cluster: VariantCluster, chrom_seq: bytes,
         mult=mult,
         member=member,
         non_covered_alleles=non_covered,
+        group_id=cluster.group_id,
+        group_size=cluster.group_size,
+        group_region=cluster.group_region,
+        parent_id=cluster.parent_id,
+        children_ids=list(cluster.children_ids),
+        depth=cluster.depth,
+        retains=retains,
     )
 
 

@@ -70,6 +70,27 @@ class NormalizedVariant:
         plus any copy-number tail (VariantFileParser.cpp:493)."""
         return self.end + self.cnv_extension
 
+    @property
+    def end_positions(self):
+        """Per-alt 0-based INCLUSIVE reference end positions after the
+        reference's pairwise right-trim (cur_end_positions,
+        VariantFileParser.cpp:480-494). The joint right-trim stored here is
+        the max of the per-alt trims; each alt's own trimmed ref length is
+        recovered by re-trimming the (ref, alt) pair with the >=1 floor."""
+        ends = set()
+        for alt in self.alts:
+            n = 0
+            while (
+                n < len(self.ref) - 1
+                and n < len(alt) - 1
+                and self.ref[len(self.ref) - 1 - n] == alt[len(alt) - 1 - n]
+            ):
+                n += 1
+            ends.add(self.pos + (len(self.ref) - n) - 1)
+        if not ends:
+            ends.add(self.pos + len(self.ref) - 1)
+        return ends
+
     def allele_seq(self, allele_idx: int) -> str | None:
         """Sequence of allele_idx (0=ref), None for the missing allele."""
         if allele_idx == 0:

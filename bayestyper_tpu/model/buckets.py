@@ -28,7 +28,6 @@ A bucket carries everything `getHaplotypeCandidates` produces
                                 VariantClusterGraph.cpp:1137-1184); W = ceil(H/32)
   use_sparse  bool  [C]         sparse vs dense haplotype frequency prior
   sparsity    f32   [C]         |minimum cover| / H (HaplotypeFrequencyDistribution.cpp:85)
-  init_freqs  f32   [C, H]      initial frequencies (uniform on the minimum cover)
   cluster_id  int64 [C]         global cluster id (drives counter-based PRNG)
   cluster_valid bool [C]
 """
@@ -58,7 +57,6 @@ class ClusterBucket:
     member: Any
     use_sparse: Any
     sparsity: Any
-    init_freqs: Any
     cluster_id: Any
     cluster_valid: Any
 
@@ -134,7 +132,6 @@ def build_bucket(clusters, size_class, num_samples):
     member_bool = np.zeros((c, cap_k, cap_v, cap_h), dtype=bool)
     use_sparse = np.zeros((c,), dtype=bool)
     sparsity = np.full((c,), 0.5, dtype=np.float32)
-    init_freqs = np.zeros((c, cap_h), dtype=np.float32)
     cluster_id = np.zeros((c,), dtype=np.int64)
     cluster_valid = np.zeros((c,), dtype=bool)
 
@@ -158,11 +155,12 @@ def build_bucket(clusters, size_class, num_samples):
             sparsity[i] = min(
                 cover.size / float(h), 1.0 - np.finfo(np.float64).eps * 100
             )
-            init_freqs[i, cover] = 1.0 / cover.size
-        else:
-            # Dense prior: uniform over real haplotypes
-            # (HaplotypeFrequencyDistribution.cpp:78-80).
-            init_freqs[i, :h] = 1.0 / h
+        # NOTE: the minimum cover seeds only the prior CHOICE and sparsity.
+        # It does NOT seed frequencies: SparseFrequencyDistribution::initialize
+        # is dead code in the reference (no call site), and every chain starts
+        # with reset() -> uniform over ALL haplotypes
+        # (VariantClusterGenotyper.cpp:128, FrequencyDistribution.cpp:49-54),
+        # which is exactly what the Gibbs kernel does.
         cluster_id[i] = cl["cluster_id"]
         cluster_valid[i] = True
 
@@ -179,7 +177,6 @@ def build_bucket(clusters, size_class, num_samples):
         member=_pack_member_bits(member_bool),
         use_sparse=use_sparse,
         sparsity=sparsity,
-        init_freqs=init_freqs,
         cluster_id=cluster_id,
         cluster_valid=cluster_valid,
     )

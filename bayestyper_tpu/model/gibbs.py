@@ -104,14 +104,61 @@ def subsample_masks(key, kmer_valid, num_chains, rate=KMER_SUBSAMPLING_RATE):
     """Per-chain Bernoulli k-mer subsets: [C, chains, K] bool.
 
     Mirrors the Bernoulli part of sampleKmerSubset
-    (VariantClusterHaplotypes.cpp:110-157). The per-(haplotype, variant)
-    500-kmer cap only binds for clusters with >5000 kmers per variant; those
-    are handled by the host compiler capping K per bucket. TODO(cap): exact
-    shuffled-order cap for giant clusters.
+    (VariantClusterHaplotypes.cpp:110-157). When the per-(haplotype, variant)
+    cap can bind (pool > max_haplotype_variant_kmers for some pair) the
+    caller additionally applies `apply_kmer_cap`.
     """
     c, k = kmer_valid.shape
     u = jax.random.uniform(key, (c, num_chains, k))
     return (u < rate) & kmer_valid[:, None, :]
+
+
+def apply_kmer_cap(key, w, member_packed, num_haplotypes, cap):
+    """Exact per-chain shuffled-order kmer cap per (haplotype, variant).
+
+    Reference semantics (isMaxHaplotypeVariantKmer,
+    VariantClusterHaplotypes.cpp:159-178): kmers are visited in random order;
+    a Bernoulli-kept kmer survives iff at least one of its
+    (haplotype, variant) memberships is still under the cap, and exactly the
+    under-cap memberships are incremented. Implemented as a lax.scan over the
+    kmer axis with a [C, chains, V, H] counter state; the per-(cluster,
+    chain) visit order comes from counter-based permutation keys so results
+    stay chip-count invariant. Callers gate this on a STATIC host-side check
+    (any pool > cap) because the scan costs O(K) sequential steps.
+
+    Args:
+      w: [C, chains, K] bool Bernoulli masks.
+      member_packed: [C, K, V, W] uint32 haplotype bitmasks.
+    Returns the capped [C, chains, K] mask.
+    """
+    from .buckets import unpack_member_bits
+
+    c, num_chains, k = w.shape
+    v = member_packed.shape[2]
+    h = num_haplotypes
+
+    keys = jax.random.split(key, c * num_chains).reshape(c, num_chains, 2)
+    perm = jax.vmap(jax.vmap(lambda kk: jax.random.permutation(kk, k)))(keys)
+
+    def step(counts, t):
+        idx = perm[:, :, t]  # [C, ch]
+        rows = jax.vmap(lambda mp, ii: mp[ii])(member_packed, idx)  # [C,ch,V,W]
+        m = unpack_member_bits(rows, h)  # [C, ch, V, H] bool
+        sel = jnp.take_along_axis(w, idx[:, :, None], axis=2)[..., 0]
+        m_eff = m & sel[:, :, None, None]
+        under = m_eff & (counts < cap)
+        keep = under.any(axis=(2, 3))  # [C, ch]
+        return counts + under.astype(counts.dtype), keep
+
+    _, keep_perm = jax.lax.scan(
+        step,
+        jnp.zeros((c, num_chains, v, h), jnp.int32),
+        jnp.arange(k, dtype=jnp.int32),
+    )
+    keep_perm = jnp.transpose(keep_perm, (1, 2, 0))  # [C, ch, K] in visit order
+    return jax.vmap(jax.vmap(lambda wv, pp, kp: wv.at[pp].set(kp)))(
+        w, perm, keep_perm
+    )
 
 
 def _diplotype_multiplicities(bucket: ClusterBucket, outcomes: OutcomeSpace):
@@ -195,6 +242,25 @@ def compute_log_likelihoods(
     ll = jax.lax.fori_loop(
         m_start, mmax + 1, body, jnp.zeros((c, num_chains, s, o), jnp.float32)
     )
+    if not include_noise_row:
+        # Kmers with dip_mult == 0 but inter_mult > 0 still carry a genomic
+        # NB(count | inter) term — the reference scores total multiplicity
+        # dip + inter (getUniqueKmerMultiplicity,
+        # VariantClusterHaplotypes.cpp:45-74), so only true
+        # total-multiplicity-0 kmers belong to the analytic noise term added
+        # per iteration. q[:, :, 0, :] is already P at multiplicity
+        # min(0 + inter, mmax); mask it to inter > 0.
+        e0 = (dip_mult == 0).astype(jnp.float32)
+        inter_pos = (inter > 0).astype(jnp.float32)  # [C, S, K]
+        r0 = wf[:, :, None, :] * (q[:, :, 0, :] * inter_pos)[:, None, :, :]
+        contrib0 = jnp.einsum(
+            "cxk,cko->cxo",
+            r0.reshape(c, num_chains * s, k),
+            e0,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ll = ll + contrib0.reshape(c, num_chains, s, o)
     # Clamped multiplicity classes > mmax all share row mmax: fold them in.
     e_over = (dip_mult > mmax).astype(jnp.float32)
     r = wf[:, :, None, :] * q[:, None, :, mmax, :]
@@ -293,6 +359,28 @@ class GibbsConfig:
     num_samples: int = GIBBS_SAMPLES
     kmer_subsampling_rate: float = KMER_SUBSAMPLING_RATE
     max_total_mult: int = 32
+    # exact shuffled-order per-(haplotype, variant) kmer cap; apply_cap is set
+    # by the host only when some pool exceeds the cap (static gate: the cap
+    # scan costs O(K) sequential steps)
+    max_haplotype_variant_kmers: int = 500
+    apply_cap: bool = False
+
+
+def _subsample_with_cap(key, bucket, num_chains, cfg):
+    # split the key ONLY when the cap applies so the no-cap RNG stream (the
+    # common case) is unchanged
+    if not cfg.apply_cap:
+        return subsample_masks(
+            key, bucket.kmer_valid, num_chains, cfg.kmer_subsampling_rate
+        )
+    k_sub, k_cap = jax.random.split(key)
+    w = subsample_masks(
+        k_sub, bucket.kmer_valid, num_chains, cfg.kmer_subsampling_rate
+    )
+    return apply_kmer_cap(
+        k_cap, w, bucket.member, bucket.num_haplotypes,
+        cfg.max_haplotype_variant_kmers,
+    )
 
 
 def _chain_keys(base_key, cluster_ids, num_chains):
@@ -328,9 +416,7 @@ def genotype_bucket(base_key, bucket: ClusterBucket, tables, outcomes: OutcomeSp
     num_iters = cfg.burn_in + cfg.num_samples
 
     k_sub, k_chain = jax.random.split(base_key)
-    w = subsample_masks(
-        k_sub, bucket.kmer_valid, cfg.num_chains, cfg.kmer_subsampling_rate
-    )
+    w = _subsample_with_cap(k_sub, bucket, cfg.num_chains, cfg)
 
     ll = compute_log_likelihoods(
         bucket, outcomes, tables, w, cfg.max_total_mult, include_noise_row=True
@@ -416,7 +502,7 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
     k_sub, k_chain, k_noise = jax.random.split(
         jax.random.fold_in(base_key, jnp.uint32(chain_idx)), 3
     )
-    w = subsample_masks(k_sub, bucket.kmer_valid, 1, cfg.kmer_subsampling_rate)
+    w = _subsample_with_cap(k_sub, bucket, 1, cfg)
 
     llg = compute_log_likelihoods(
         bucket, outcomes, tables, w, cfg.max_total_mult, include_noise_row=False
@@ -488,6 +574,232 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
     return rate_sum, trace
 
 
+@functools.partial(jax.jit, static_argnames=("outcomes_list", "cfgs"))
+def genotype_nested(base_key, buckets, parent_rows, retain_tables, tables,
+                    outcomes_list, cfgs):
+    """Frozen-noise genotyping of nested cluster-group families.
+
+    TPU reformulation of the reference's per-iteration source->nested DAG
+    recursion with ploidy demotion (VariantClusterGroup::runGibbsSample,
+    VariantClusterGroup.cpp:236-250 + updateNestedVariantClusterInfo,
+    VariantClusterGenotyper.cpp:183-206): clusters are laid out by
+    containment DEPTH. Each Gibbs iteration runs level 0 (roots) under
+    chromosome ploidy, then each deeper level under a per-(cluster, chain,
+    sample) ploidy GATHERED from its parent's just-sampled outcome — the
+    retain table counts how many haplotype copies of that parent outcome
+    keep the child region intact (a deletion spanning the child demotes it
+    one level per copy).
+
+    Args:
+      buckets: tuple of ClusterBucket, one per depth level (level 0 first).
+      parent_rows: tuple; parent_rows[l] int32 [C_l] = row of each level-l
+        cluster's parent within the level l-1 bucket (entry 0 unused).
+      retain_tables: tuple; retain_tables[l] int8 [C_l, O_{l-1}] = demoted
+        ploidy of cluster c when its parent sampled outcome o.
+      tables: [S, M+1, 256] frozen-noise log-pmf tables.
+    Returns:
+      (tallies, ws): tuples per level — tally [C, chains, S, O_l] int32 and
+      w [C, chains, K_l] bool.
+    """
+    num_levels = len(buckets)
+    cfg0 = cfgs[0]
+    num_iters = cfg0.burn_in + cfg0.num_samples
+    num_chains = cfg0.num_chains
+
+    precomp = []
+    for l in range(num_levels):
+        bucket, outcomes, cfg = buckets[l], outcomes_list[l], cfgs[l]
+        kb = jax.random.fold_in(base_key, jnp.uint32(l))
+        k_sub, k_chain = jax.random.split(kb)
+        w = _subsample_with_cap(k_sub, bucket, num_chains, cfg)
+        ll = compute_log_likelihoods(
+            bucket, outcomes, tables, w, cfg.max_total_mult,
+            include_noise_row=True,
+        )
+        osp = (
+            jnp.asarray(outcomes.oa),
+            jnp.asarray(outcomes.ob),
+            jnp.asarray(outcomes.het_bonus),
+            jnp.asarray(outcomes.ploidy_mask),
+        )
+        chain_keys = _chain_keys(k_chain, bucket.cluster_id, num_chains)
+        hv = bucket.hap_valid
+        nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
+        freqs0 = jnp.broadcast_to(
+            jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)[:, None, :],
+            (bucket.num_clusters, num_chains, bucket.num_haplotypes),
+        )
+        precomp.append(dict(w=w, ll=ll, osp=osp, chain_keys=chain_keys,
+                            freqs0=freqs0))
+
+    def step(carry, t):
+        freqs_list, tally_list = carry
+        new_freqs_list, new_tally_list = [], []
+        o_prev = None
+        for l in range(num_levels):
+            bucket = buckets[l]
+            pre = precomp[l]
+            c = bucket.num_clusters
+            s = bucket.num_samples
+            o = outcomes_list[l].num_outcomes
+
+            if l == 0:
+                ploidy = jnp.broadcast_to(
+                    bucket.ploidy[:, None, :], (c, num_chains, s)
+                ).astype(jnp.int32)
+            else:
+                po = o_prev[parent_rows[l]]           # [C_l, ch, S]
+                ploidy = jax.vmap(lambda r, p: r[p])(
+                    retain_tables[l], po
+                ).astype(jnp.int32)
+
+            def per_cc(ck, f, llcc, pl, hvc, sp, usp, osp=pre["osp"]):
+                key = jax.random.fold_in(ck, t.astype(jnp.uint32))
+                return _gibbs_iteration(key, f, llcc, pl, hvc, sp, usp, osp)
+
+            new_freqs, o_sel = jax.vmap(  # over clusters
+                jax.vmap(per_cc, in_axes=(0, 0, 0, 0, None, None, None)),
+                in_axes=(0, 0, 0, 0, 0, 0, 0),
+            )(pre["chain_keys"], freqs_list[l], pre["ll"], ploidy,
+              bucket.hap_valid, bucket.sparsity, bucket.use_sparse)
+
+            collect = (t >= cfg0.burn_in).astype(jnp.int32)
+            onehot = (
+                jnp.arange(o, dtype=jnp.int32)[None, None, None, :]
+                == o_sel[..., None]
+            ).astype(jnp.int32)
+            new_tally_list.append(tally_list[l] + collect * onehot)
+            new_freqs_list.append(new_freqs)
+            o_prev = o_sel
+        return (tuple(new_freqs_list), tuple(new_tally_list)), None
+
+    tally0 = tuple(
+        jnp.zeros(
+            (b.num_clusters, num_chains, b.num_samples,
+             outcomes_list[l].num_outcomes),
+            jnp.int32,
+        )
+        for l, b in enumerate(buckets)
+    )
+    freqs0 = tuple(pre["freqs0"] for pre in precomp)
+    (_, tallies), _ = jax.lax.scan(
+        step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32)
+    )
+    return tallies, tuple(pre["w"] for pre in precomp)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("outcomes_list", "cfgs", "axis_name")
+)
+def noise_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
+                      outcomes_list, cfgs, chain_idx,
+                      axis_name: str | None = None):
+    """One sequential noise-estimation chain over MULTIPLE size-class buckets.
+
+    The reference estimates noise from every single-cluster group regardless
+    of size (InferenceEngine.cpp:141-151). Padding all size classes into one
+    superset bucket would cost O(C_total * K_max * H_max); instead each class
+    keeps its own dense bucket and the per-iteration gamma update pools the
+    zero-multiplicity sufficient statistics across classes (and across the
+    mesh via psum), so the coupling is exact while the compute stays
+    per-class-sized. The static Python loop over buckets unrolls into one
+    compiled scan body.
+
+    Args:
+      buckets: tuple of ClusterBucket (one per size class).
+      outcomes_list: tuple of OutcomeSpace matching buckets.
+      cfgs: tuple of GibbsConfig matching buckets (burn_in/num_samples/rates
+        are taken from cfgs[0]; max_total_mult/apply_cap are per bucket).
+    Returns (rate_sum [S], trace [iters, S]) like noise_chain.
+    """
+    num_iters = cfgs[0].burn_in + cfgs[0].num_samples
+    prior_shape, prior_scale = noise_prior
+    k_master = jax.random.fold_in(base_key, jnp.uint32(chain_idx))
+    k_noise = jax.random.fold_in(k_master, jnp.uint32(0x6E6F6973))  # "nois"
+
+    setups = []
+    for bi, (bucket, outcomes, cfg) in enumerate(
+        zip(buckets, outcomes_list, cfgs)
+    ):
+        kb = jax.random.fold_in(k_master, jnp.uint32(bi))
+        k_sub, k_chain = jax.random.split(kb)
+        w = _subsample_with_cap(k_sub, bucket, 1, cfg)
+        llg = compute_log_likelihoods(
+            bucket, outcomes, tables, w, cfg.max_total_mult,
+            include_noise_row=False,
+        )[:, 0]
+        a, b, c0 = compute_noise_terms(bucket, outcomes, w)
+        a, b, c0 = a[:, 0], b[:, 0], c0[:, 0]
+        ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
+        osp = (
+            jnp.asarray(outcomes.oa),
+            jnp.asarray(outcomes.ob),
+            jnp.asarray(outcomes.het_bonus),
+            jnp.asarray(outcomes.ploidy_mask),
+        )
+        cluster_keys = jax.vmap(
+            lambda cid, kc=k_chain: jax.random.fold_in(
+                jax.random.fold_in(kc, cid.astype(jnp.uint32)), 0
+            )
+        )(bucket.cluster_id)
+        hv = bucket.hap_valid
+        nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
+        freqs0 = jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)
+        cv = bucket.cluster_valid.astype(jnp.float32)
+        setups.append(
+            dict(bucket=bucket, llg=llg, a=a, b=b, c0=c0, ll_mask=ll_mask,
+                 osp=osp, cluster_keys=cluster_keys, freqs0=freqs0, cv=cv)
+        )
+
+    def step(carry, t):
+        freqs_list, rates = carry
+        log_r = jnp.log(jnp.maximum(rates, 1e-30))
+        count_sum = jnp.zeros_like(rates)
+        num_obs = jnp.zeros_like(rates)
+        new_freqs_list = []
+        for su, freqs in zip(setups, freqs_list):
+            ll = su["llg"] + (
+                su["a"] * log_r[None, :, None]
+                - su["b"] * rates[None, :, None]
+                - su["c0"]
+            ) * su["ll_mask"]
+
+            def per_cluster(ck, f, llc, ploidy, hvc, sp, usp, osp=su["osp"]):
+                key = jax.random.fold_in(ck, t.astype(jnp.uint32))
+                return _gibbs_iteration(key, f, llc, ploidy, hvc, sp, usp, osp)
+
+            bucket = su["bucket"]
+            new_freqs, o_sel = jax.vmap(per_cluster)(
+                su["cluster_keys"], freqs, ll, bucket.ploidy,
+                bucket.hap_valid, bucket.sparsity, bucket.use_sparse,
+            )
+            a_sel = jnp.take_along_axis(su["a"], o_sel[:, :, None], axis=2)[..., 0]
+            b_sel = jnp.take_along_axis(su["b"], o_sel[:, :, None], axis=2)[..., 0]
+            count_sum = count_sum + jnp.sum(a_sel * su["cv"][:, None], axis=0)
+            num_obs = num_obs + jnp.sum(b_sel * su["cv"][:, None], axis=0)
+            new_freqs_list.append(new_freqs)
+
+        if axis_name is not None:
+            count_sum = jax.lax.psum(count_sum, axis_name)
+            num_obs = jax.lax.psum(num_obs, axis_name)
+
+        k_it = jax.random.fold_in(k_noise, t.astype(jnp.uint32))
+        from ..ops.sampling import fixed_round_gamma
+        shape = prior_shape + count_sum
+        scale = prior_scale / (num_obs * prior_scale + 1.0)
+        new_rates = fixed_round_gamma(k_it, shape) * scale
+
+        collect = (t >= cfgs[0].burn_in).astype(jnp.float32)
+        return (tuple(new_freqs_list), new_rates), (new_rates, collect)
+
+    freqs0_list = tuple(su["freqs0"] for su in setups)
+    (_, _), (trace, collected) = jax.lax.scan(
+        step, (freqs0_list, init_rates), jnp.arange(num_iters, dtype=jnp.int32)
+    )
+    rate_sum = jnp.sum(trace * collected[:, None], axis=0)
+    return rate_sum, trace
+
+
 @functools.partial(
     jax.jit, static_argnames=("outcomes", "cfg", "axis_name")
 )
@@ -510,7 +822,7 @@ def joint_chain(base_key, bucket: ClusterBucket, tables, init_rates,
     k_sub, k_chain, k_noise = jax.random.split(
         jax.random.fold_in(base_key, jnp.uint32(chain_idx)), 3
     )
-    w = subsample_masks(k_sub, bucket.kmer_valid, 1, cfg.kmer_subsampling_rate)
+    w = _subsample_with_cap(k_sub, bucket, 1, cfg)
 
     llg = compute_log_likelihoods(
         bucket, outcomes, tables, w, cfg.max_total_mult, include_noise_row=False

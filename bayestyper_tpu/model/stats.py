@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import MISSING, PLOIDY_DIPLOID, PLOIDY_HAPLOID
+from ..constants import MISSING, PLOIDY_DIPLOID, PLOIDY_HAPLOID, PLOIDY_NULL
 from .buckets import ClusterBucket, unpack_member_bits
 from .gibbs import OutcomeSpace
 
@@ -111,8 +111,16 @@ def collect_bucket_stats(
     filters: FilterConfig,
     allele_capacity: int = 8,
     mac_top_t: int = 8,
+    missing_stats=None,
 ) -> BucketStats:
-    """Reduce Gibbs tallies to the full per-variant output statistics."""
+    """Reduce Gibbs tallies to the full per-variant output statistics.
+
+    missing_stats: optional (nak_m, fak_m, mac_m) [C, S] arrays — the parent
+    cluster's demoting-allele kmer stats, substituted for the missing (`*`)
+    allele of nested child variants whose own sentinel slot carries no kmers
+    (addNestedHaplotypeKmerStats, VariantClusterHaplotypes.cpp:295-300:
+    demoted copies contribute the PARENT haplotype's stats to the nested
+    missing allele)."""
     c, k, h = bucket.mult.shape
     s = bucket.counts.shape[2]
     o = outcomes.num_outcomes
@@ -126,7 +134,15 @@ def collect_bucket_stats(
     ob = jnp.asarray(outcomes.ob)
     num_pairs = outcomes.num_pairs
     b_slot_valid = jnp.arange(o) < num_pairs      # slot b exists (diploid block)
-    not_null = jnp.arange(o) < (o - 1)            # null outcome excluded
+
+    # Per-sample chromosome ploidy decides genotype coding — NOT the outcome
+    # block: a chrom-diploid sample demoted by a nested parent samples
+    # haploid/null outcomes whose genotypes are (allele, *) / (*, *)
+    # (getGenotypeSampleStats, VariantClusterGenotyper.cpp:258-330, with
+    # haplotypeToAlleleIndex mapping the overflow slot to the missing allele).
+    # Chrom-null samples tally nothing (sample_stats(0,0)).
+    is_dip_s = bucket.ploidy == PLOIDY_DIPLOID    # [C, S]
+    valid_s = bucket.ploidy != PLOIDY_NULL
 
     tall = tally.sum(axis=1)                      # [C, S, O]
     tall_f = tall.astype(jnp.float32)
@@ -176,31 +192,35 @@ def collect_bucket_stats(
         al_a = jnp.take_along_axis(al_ext, oa[None, :], axis=1)  # [C, O]
         al_b = jnp.take_along_axis(al_ext, ob[None, :], axis=1)
 
-        # ---- genotype tallies ----
+        # ---- genotype tallies (ploidy-aware per sample) ----
         lo = jnp.minimum(al_a, al_b)
         hi = jnp.maximum(al_a, al_b)
-        g_pair = (hi * (hi + 1)) // 2 + lo
-        gidx = jnp.where(b_slot_valid[None, :], g_pair, al_a)    # [C, O]
-        g_onehot = (
-            gidx[:, :, None] == jnp.arange(g_cap)[None, None, :]
-        ) & not_null[None, :, None]
-        gt_tally = jnp.einsum(
-            "cso,cog->csg", tall_f, g_onehot.astype(jnp.float32)
-        )                                          # [C, S, G]
+        g_pair = (hi * (hi + 1)) // 2 + lo                        # [C, O]
+        g1_dip = (
+            g_pair[:, :, None] == jnp.arange(g_cap)[None, None, :]
+        ).astype(jnp.float32)                                     # [C, O, G]
+        g1_hap = (
+            al_a[:, :, None] == jnp.arange(g_cap)[None, None, :]
+        ).astype(jnp.float32)
+        gt_dip = jnp.einsum("cso,cog->csg", tall_f, g1_dip)
+        gt_hap = jnp.einsum("cso,cog->csg", tall_f, g1_hap)
+        gt_tally = jnp.where(
+            is_dip_s[:, :, None], gt_dip, gt_hap
+        ) * valid_s[:, :, None]                                   # [C, S, G]
 
         # ---- allele posterior tallies (hom counts once) ----
         arange_a = jnp.arange(a_cap)
         match_a = (al_a[:, :, None] == arange_a[None, None, :])   # [C, O, A]
         match_b = (al_b[:, :, None] == arange_a[None, None, :])
-        inc = (
-            match_a.astype(jnp.float32)
-            + jnp.where(
-                b_slot_valid[None, :, None] & (al_a != al_b)[:, :, None],
-                match_b.astype(jnp.float32),
-                0.0,
-            )
-        ) * not_null[None, :, None]
-        al_tally = jnp.einsum("cso,coa->csa", tall_f, inc)        # [C, S, A]
+        inc_dip = match_a.astype(jnp.float32) + jnp.where(
+            (al_a != al_b)[:, :, None], match_b.astype(jnp.float32), 0.0
+        )
+        inc_hap = match_a.astype(jnp.float32)
+        al_dip = jnp.einsum("cso,coa->csa", tall_f, inc_dip)
+        al_hap = jnp.einsum("cso,coa->csa", tall_f, inc_hap)
+        al_tally = jnp.where(
+            is_dip_s[:, :, None], al_dip, al_hap
+        ) * valid_s[:, :, None]                                   # [C, S, A]
 
         # ---- GT / GQ from integer tallies (tallies < 2^24 so f32 sums are exact) ----
         gt_int = jnp.round(gt_tally).astype(jnp.int32)
@@ -255,29 +275,33 @@ def collect_bucket_stats(
             axis=3,
         )
 
-        # slot validity: slot a valid on non-null outcomes; slot b on diploid block
-        a_valid = not_null[None, None, :]
-        b_valid = b_slot_valid[None, None, :]
+        # slot validity per sample: slot a on every outcome (null-chrom
+        # samples are zeroed), slot b wherever the sample is chrom-diploid
+        # (the sentinel/missing slot of demoted outcomes counts as the
+        # missing allele, VariantClusterGenotyper.cpp:289-311)
+        a_valid = valid_s[:, :, None]                             # [C, S, 1]
+        b_valid = (is_dip_s & valid_s)[:, :, None]
 
         def allele_sums(a_idx):
-            ma = (al_a == a_idx)[:, None, :] & a_valid            # [C, 1, O]
+            ma = (al_a == a_idx)[:, None, :] & a_valid            # [C, S, O]
             mb = (al_b == a_idx)[:, None, :] & b_valid
             maf = ma.astype(jnp.float32)
             mbf = mb.astype(jnp.float32)
-            calls = jnp.einsum("chso,cho->cs", tally_f, maf * jnp.ones_like(n_at_a)) + \
-                jnp.einsum("chso,cho->cs", tally_f, mbf * jnp.ones_like(n_at_b))
-            nak_num = jnp.einsum("chso,cho->cs", tally_f, maf * n_at_a) + \
-                jnp.einsum("chso,cho->cs", tally_f, mbf * n_at_b)
+            ones = jnp.ones_like(n_at_a)
+            calls = jnp.einsum("chso,cso,cho->cs", tally_f, maf, ones) + \
+                jnp.einsum("chso,cso,cho->cs", tally_f, mbf, ones)
+            nak_num = jnp.einsum("chso,cso,cho->cs", tally_f, maf, n_at_a) + \
+                jnp.einsum("chso,cso,cho->cs", tally_f, mbf, n_at_b)
             n_pos_a = (n_at_a > 0).astype(jnp.float32)
             n_pos_b = (n_at_b > 0).astype(jnp.float32)
-            fak_den = jnp.einsum("chso,cho->cs", tally_f, maf * n_pos_a) + \
-                jnp.einsum("chso,cho->cs", tally_f, mbf * n_pos_b)
+            fak_den = jnp.einsum("chso,cso,cho->cs", tally_f, maf, n_pos_a) + \
+                jnp.einsum("chso,cso,cho->cs", tally_f, mbf, n_pos_b)
             fr_frac_a = fr_at_a / jnp.maximum(n_at_a, 1.0)[:, :, None, :]
             fr_frac_b = fr_at_b / jnp.maximum(n_at_b, 1.0)[:, :, None, :]
             fak_num = jnp.einsum(
-                "chso,chso->cs", tally_f, fr_frac_a * (maf * n_pos_a)[:, :, None, :]
+                "chso,cso,cho,chso->cs", tally_f, maf, n_pos_a, fr_frac_a
             ) + jnp.einsum(
-                "chso,chso->cs", tally_f, fr_frac_b * (mbf * n_pos_b)[:, :, None, :]
+                "chso,cso,cho,chso->cs", tally_f, mbf, n_pos_b, fr_frac_b
             )
             return calls, nak_num, fak_den, fak_num
 
@@ -291,6 +315,18 @@ def collect_bucket_stats(
 
         nak = nak_num / jnp.maximum(calls, 1.0)
         fak = jnp.where(fak_den > 0, fak_num / jnp.maximum(fak_den, 1.0), -1.0)
+
+        if missing_stats is not None:
+            nak_m, fak_m, mac_m = missing_stats           # each [C, S]
+            na_v = jax.lax.dynamic_index_in_dim(
+                bucket.num_alleles, v_idx, axis=1, keepdims=False
+            ).astype(jnp.int32)                           # [C]
+            is_missing = (
+                jnp.arange(a_cap)[None, None, :] == (na_v[:, None, None] - 1)
+            )
+            sub = is_missing & float_compare(nak, jnp.zeros_like(nak))
+            nak = jnp.where(sub, nak_m[:, :, None], nak)
+            fak = jnp.where(sub, fak_m[:, :, None], fak)
 
         # ---- MAC over top-T outcomes ----
         memb_sel_a = jnp.take_along_axis(
@@ -343,6 +379,8 @@ def collect_bucket_stats(
         mac_num = mac_num.transpose(0, 2, 1)
         mac_den = mac_den.transpose(0, 2, 1)
         mac = jnp.where(mac_den > 0, mac_num / jnp.maximum(mac_den, 1.0), -1.0)
+        if missing_stats is not None:
+            mac = jnp.where(sub & (mac < 0), mac_m[:, :, None], mac)
 
         # ---- filters + GT decode ----
         app = al_tally / denom_f[:, :, None]

@@ -18,11 +18,22 @@ BLOOM_FPR = 0.001  # MakeBloom.cpp false_positive_rate
 
 
 def kmc_to_bloom(kmc_prefix: str, out_path: str | None = None,
-                 fpr: float = BLOOM_FPR, run_test: bool = False):
+                 fpr: float = BLOOM_FPR, run_test: bool = False,
+                 reference_format: bool = False):
+    """reference_format=True writes the reference's `.bloomMeta/.bloomData`
+    pair (ntHash bit layout, readable by the reference binary) instead of the
+    native npz (ops.nthash.ReferenceKmerBloom)."""
     reader = KmcReader(kmc_prefix)
-    bloom = KmerBloomFilter.with_optimal_parameters(
-        reader.info.total_kmers, fpr, reader.info.kmer_length
-    )
+    if reference_format:
+        from ..ops.nthash import ReferenceKmerBloom
+
+        bloom = ReferenceKmerBloom.with_optimal_parameters(
+            reader.info.total_kmers, fpr, reader.info.kmer_length
+        )
+    else:
+        bloom = KmerBloomFilter.with_optimal_parameters(
+            reader.info.total_kmers, fpr, reader.info.kmer_length
+        )
     test_hi, test_lo = [], []
     for hi, lo, _ in reader.batches():
         bloom.add(hi, lo)
@@ -41,6 +52,10 @@ def kmc_to_bloom(kmc_prefix: str, out_path: str | None = None,
         observed_fpr = bloom.contains(rh, rl).mean()
         assert observed_fpr < 10 * fpr + 1e-4, observed_fpr
 
+    if reference_format:
+        out = out_path or kmc_prefix
+        bloom.save(out)
+        return bloom, out + ".bloomMeta/.bloomData"
     out = out_path or (kmc_prefix + ".bloom.npz")
     bloom.save(out)
     return bloom, out

@@ -209,6 +209,16 @@ class GenotypeVcfWriter:
         self.num_written = 0
 
     def add(self, record: VariantGenotypeRecord):
+        # Reconstitute REF from the genome at write time
+        # (GenotypeWriter.cpp:477: chrom.substr(position-1, max_ref_length)).
+        # With the joint right-trim, len(record.ref) equals the reference's
+        # maxReferenceLength, so the substring is the identical byte span.
+        try:
+            seq = self.genome[record.chrom]
+            ref = seq[record.pos - 1 : record.pos - 1 + len(record.ref)]
+            record.ref = ref.decode() if isinstance(ref, bytes) else str(ref)
+        except KeyError:
+            pass
         self.rows.setdefault(record.chrom, []).append(
             (record.pos, render_row(record))
         )

@@ -134,3 +134,56 @@ def test_n_region_variant(tmp_path):
                   GenotypeOptions(num_chains=4, burn_in=20, num_samples=60))
     r = list(VcfReader(out, parse_samples=True))[0]
     assert r.samples[0]["GT"] in ("1/1", "./.")
+
+
+@pytest.mark.parametrize("copies,expect_excluded", [(200, True), (30, False)])
+def test_max_multiplicity_exclusion(tmp_path, copies, expect_excluded):
+    """Kmers whose genome occurrence count plus path multiplicity overflows
+    127 must be excluded (has_max_multiplicity, KmerCounts.cpp:153-158) —
+    an SNV inside a unit repeated 200x keeps only its alt-allele kmers."""
+    rng = np.random.default_rng(31)
+    unit_seq = "".join(rng.choice(list("ACGT"), 60))
+    u1 = "".join(rng.choice(list("ACGT"), 300))
+    u2 = "".join(rng.choice(list("ACGT"), 300))
+    seq = u1 + unit_seq * copies + u2
+    pos0 = 300 + (copies // 2) * 60 + 10  # 0-based SNV inside one copy
+    ref = seq[pos0]
+    alt = next(b for b in "ACGT" if b != ref)
+    rows = [(pos0 + 1, ref, alt)]
+    genome, vcf_path, samples = _setup(tmp_path, seq, rows)
+    ploidy = ChromosomePloidy.human_default()
+    unit = run_cluster_phase(genome, samples, vcf_path, ploidy, kmer_size=K)
+    assert len(unit.compiled) == 1
+    fc = unit.compiled[0]
+    if expect_excluded:
+        # the ref-path kmers recur ~200x in intercluster regions -> dropped
+        assert fc.num_excluded > 0
+        # alt-crossing kmers are unique and must survive
+        assert len(fc.kmer_hi) > 0
+    else:
+        assert fc.num_excluded == 0
+
+
+def test_intercluster_regions_respect_cnv_extension():
+    """Intercluster (parameter-kmer) regions must start past a cluster's
+    CNV-extended influence end, not its reference end — the reference tracks
+    the extended region (VariantFileParser.cpp:173-183,493)."""
+    from bayestyper_tpu.graph.clustering import (
+        VariantCluster, intercluster_regions,
+    )
+    from bayestyper_tpu.graph.variants import NormalizedVariant
+
+    genome = Genome()
+    genome.names = ["chr1"]
+    genome.sequences["chr1"] = b"A" * 5000
+
+    v = NormalizedVariant(
+        chrom="chr1", pos=1000, ids=["."], ref="A" * 50,
+        alts=["A" * 120], has_dependency=False, cnv_extension=300,
+    )
+    cl = VariantCluster(chrom="chr1", variants=[v])
+    regions = intercluster_regions(genome, {"chr1": [cl]}, kmer_size=K)
+    for chrom, start, end in regions:
+        # no region may overlap [cluster end, influence end + k - 1)
+        assert end <= cl.start - (K - 1) or start >= cl.influence_end + (K - 1)
+    assert any(start >= cl.influence_end + (K - 1) for _, start, _ in regions)

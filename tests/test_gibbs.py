@@ -162,3 +162,160 @@ def test_padding_cluster_harmless(run_result):
     # padding cluster (index 3) has null ploidy: all tallies on the null outcome
     assert (tally[3, :, :, :-1] == 0).all()
     assert (tally[3, :, :, -1] == cfg.num_samples).all()
+
+
+def test_noise_mode_ll_decomposition():
+    """LL with include_noise_row=False plus the analytic noise term must equal
+    the frozen-noise LL built with the same rates — including for kmers with
+    dip_mult==0 but inter_mult>0, whose genomic NB(count|inter) contribution
+    the noise path must NOT drop (calcDiplotypeLogProb scores dip+inter,
+    VariantClusterHaplotypes.cpp:45-74)."""
+    from bayestyper_tpu.model.gibbs import (
+        compute_log_likelihoods,
+        compute_noise_terms,
+        subsample_masks,
+    )
+
+    rng = np.random.default_rng(21)
+    s = 2
+    cl = make_snv_cluster(rng, [(0, 1), (1, 1)], num_kmers_per_allele=10)
+    # give some kmers intercluster multiplicity, including kmers where one
+    # haplotype has dip_mult 0 (the alt-allele kmers for hap0 outcomes)
+    inter = np.zeros((20, s), dtype=np.uint8)
+    inter[::3] = 2
+    cl["inter_mult"] = inter
+    bucket = build_bucket([cl], size_class=(1, 64, 2, 1), num_samples=s)
+    bucket = bucket.device_arrays()
+
+    rates = np.array([0.05, 0.1])
+    tables = jnp.asarray(
+        np_build_count_log_prob_tables(
+            np.full(s, 0.5), np.full(s, 7.5), rates, 16
+        )
+    )
+    outcomes = make_outcome_space(2)
+    key = jax.random.PRNGKey(3)
+    w = subsample_masks(key, bucket.kmer_valid, 1, 1.0)
+
+    ll_full = compute_log_likelihoods(
+        bucket, outcomes, tables, w, 16, include_noise_row=True
+    )
+    ll_part = compute_log_likelihoods(
+        bucket, outcomes, tables, w, 16, include_noise_row=False
+    )
+    a, b, c0 = compute_noise_terms(bucket, outcomes, w)
+    log_r = np.log(rates)
+    analytic = (
+        a * log_r[None, None, :, None]
+        - b * rates[None, None, :, None]
+        - c0
+    )
+    # null outcome column is zeroed in both paths
+    got = np.asarray(ll_part + analytic)[..., :-1]
+    want = np.asarray(ll_full)[..., :-1]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    # the old behaviour dropped the inter>0/dip==0 genomic terms entirely:
+    # ensure those terms are actually nonzero in this fixture
+    assert np.abs(want - np.asarray(ll_part)[..., :-1]).max() > 1.0
+
+
+def test_apply_kmer_cap_exact_semantics():
+    """The shuffled-order per-(haplotype, variant) cap: with single-membership
+    kmers the counter equals the true kept count, so each pair must keep
+    EXACTLY min(cap, bernoulli-selected) kmers (isMaxHaplotypeVariantKmer,
+    VariantClusterHaplotypes.cpp:159-178). Multi-membership kmers may exceed
+    the true count (the reference caps the counter, not the membership), so
+    they are only checked for the subset property.
+    """
+    from bayestyper_tpu.model.buckets import _pack_member_bits
+    from bayestyper_tpu.model.gibbs import apply_kmer_cap
+
+    rng = np.random.default_rng(9)
+    c, ch, k, v, h, cap = 2, 3, 256, 1, 2, 20
+    member_bool = np.zeros((c, k, v, h), dtype=bool)
+    member_bool[:, 0::2, 0, 0] = True   # hap0-only kmers
+    member_bool[:, 1::2, 0, 1] = True   # hap1-only kmers
+    member = jnp.asarray(_pack_member_bits(member_bool))
+
+    w = jnp.asarray(rng.random((c, ch, k)) < 0.9)
+    out = np.asarray(
+        apply_kmer_cap(jax.random.PRNGKey(0), w, member, h, cap)
+    )
+    w_np = np.asarray(w)
+    assert not (out & ~w_np).any()  # subset of the Bernoulli mask
+    for ci in range(c):
+        for xi in range(ch):
+            for hap, sl in ((0, slice(0, None, 2)), (1, slice(1, None, 2))):
+                kept = out[ci, xi, sl].sum()
+                selected = w_np[ci, xi, sl].sum()
+                assert kept == min(cap, selected), (ci, xi, hap, kept)
+
+
+def test_apply_kmer_cap_multi_membership_subset():
+    """Kmers on several (haplotype, variant) pairs survive while ANY pair is
+    under cap; the output stays a subset of the Bernoulli mask and single-pair
+    kmers never exceed the cap."""
+    from bayestyper_tpu.model.buckets import _pack_member_bits
+    from bayestyper_tpu.model.gibbs import apply_kmer_cap
+
+    rng = np.random.default_rng(10)
+    c, ch, k, v, h, cap = 1, 2, 192, 1, 2, 15
+    member_bool = np.zeros((c, k, v, h), dtype=bool)
+    member_bool[:, 0::3, 0, 0] = True
+    member_bool[:, 1::3, 0, 1] = True
+    member_bool[:, 2::3, 0, :] = True  # shared kmers
+    member = jnp.asarray(_pack_member_bits(member_bool))
+
+    w = jnp.ones((c, ch, k), dtype=bool)
+    out = np.asarray(apply_kmer_cap(jax.random.PRNGKey(1), w, member, h, cap))
+    # single-membership kept counts are bounded by the cap
+    for xi in range(ch):
+        assert out[0, xi, 0::3].sum() <= cap
+        assert out[0, xi, 1::3].sum() <= cap
+        # far fewer kmers survive than the 192 selected
+        assert out[0, xi].sum() <= 3 * cap
+        assert out[0, xi].sum() >= cap
+
+
+def test_noise_chain_multi_pools_across_size_classes():
+    """noise_chain_multi must couple ALL size classes through the per-
+    iteration gamma update (the reference estimates noise from every
+    single-cluster group regardless of size, InferenceEngine.cpp:141-151).
+    Rates estimated from two differently-shaped buckets together should land
+    near the simulated truth."""
+    from bayestyper_tpu.model.gibbs import noise_chain_multi
+
+    rng = np.random.default_rng(13)
+    genotypes = [(0, 1), (1, 1), (0, 0)]
+    small = [make_snv_cluster(rng, genotypes, 20, cluster_id=i)
+             for i in range(2)]
+    large = [make_snv_cluster(rng, genotypes, 60, cluster_id=10 + i)
+             for i in range(2)]
+    b_small = build_bucket(small, (2, 64, 4, 1), 3).device_arrays()
+    b_large = build_bucket(large, (2, 128, 4, 1), 3).device_arrays()
+
+    tables = jnp.asarray(
+        np_build_count_log_prob_tables(
+            np.full(3, HAPLOID_MEAN / HAPLOID_VAR),
+            np.full(3, HAPLOID_MEAN**2 / (HAPLOID_VAR - HAPLOID_MEAN)),
+            np.full(3, 1e-3),
+            16,
+        )
+    )
+    cfg = GibbsConfig(num_chains=1, burn_in=40, num_samples=100,
+                      kmer_subsampling_rate=1.0, max_total_mult=8)
+    outs = (make_outcome_space(4), make_outcome_space(4))
+    prior = (1.0, 0.01)
+    sums = []
+    for chain in range(4):
+        k_init = jax.random.fold_in(jax.random.PRNGKey(5), chain)
+        init = jax.random.gamma(k_init, prior[0], (3,)) * prior[1]
+        rate_sum, trace = noise_chain_multi(
+            jax.random.PRNGKey(5), (b_small, b_large), tables, init, prior,
+            outs, (cfg, cfg), chain_idx=chain,
+        )
+        assert trace.shape == (140, 3)
+        sums.append(np.asarray(rate_sum))
+    mean = np.sum(sums, axis=0) / (100 * 4)
+    # simulated noise rate is NOISE_RATE=0.05 on mult-0 kmers
+    assert (mean > 0.005).all() and (mean < 0.5).all(), mean

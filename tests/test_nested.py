@@ -1,10 +1,14 @@
-"""Overlapping/contained variants: a deletion spanning an interior SNV.
+"""Overlapping/contained variants: deletions spanning interior SNVs.
 
-The reference models this with nested cluster groups + ploidy demotion
-(VariantClusterGroup.cpp:236-250); here the containment is flattened into one
-joint cluster where deletion-carrying paths give interior variants their `*`
-missing allele (PARITY.md "Nested clusters"). This exercises has_dependency,
-missing-allele genotypes, and the sentinel haplotype machinery end-to-end.
+Two regimes, both matching the reference:
+  * a contained variant within k of the outer cluster's flanks is merged
+    into the SAME cluster (flank-map adjacency) — deletion paths give it the
+    `*` missing allele directly;
+  * a contained variant >= k from every flank forms a NESTED cluster of the
+    same group (getVariantClusterGroupDependencies) genotyped conditionally
+    on the parent's sampled outcome with ploidy demotion
+    (VariantClusterGroup.cpp:236-250): a deletion copy spanning the child
+    demotes one child copy, and the demoted slot maps to the `*` allele.
 """
 
 import numpy as np
@@ -64,15 +68,20 @@ def test_deletion_spanning_snv(tmp_path):
     ploidy = ChromosomePloidy.human_default()
     unit = run_cluster_phase(genome, samples, vcf_path, ploidy, kmer_size=K)
 
-    # both variants flattened into one cluster; SNV carries the * dependency
-    assert len(unit.compiled) == 1
-    fc = unit.compiled[0]
-    assert len(fc.variants) == 2
-    snv = fc.variants[1]
+    # the SNV sits >= k inside the deletion span: a NESTED cluster of the
+    # same group, conditionally genotyped with ploidy demotion
+    assert len(unit.compiled) == 2
+    parent = next(fc for fc in unit.compiled if fc.parent_id < 0)
+    child = next(fc for fc in unit.compiled if fc.parent_id >= 0)
+    assert child.parent_id == parent.cluster_id
+    assert parent.group_size == 2 and child.group_size == 2
+    assert child.depth == 1
+    snv = child.variants[0]
     assert snv.has_dependency
     assert snv.num_alleles == 3  # ref, alt, missing(*)
-    # the deletion path assigns the SNV its missing allele
-    assert (fc.hap_allele[:, 1] == 2).any()
+    # parent haplotypes: the ref route retains the child, the deletion does not
+    assert parent.retains.shape[1] == 1
+    assert parent.retains.any() and not parent.retains.all()
 
     out = str(tmp_path / "out.vcf")
     opts = GenotypeOptions(num_chains=6, burn_in=40, num_samples=100,
@@ -83,6 +92,10 @@ def test_deletion_spanning_snv(tmp_path):
     rows = {r.pos: r for r in reader}
     del_row = rows[del_pos + 1]
     snv_row = rows[snv_pos + 1]
+
+    # group INFO fields reflect the real 2-cluster group
+    assert del_row.info.get("VCGS") == "2"
+    assert snv_row.info.get("VCGS") == "2"
 
     # deletion: heterozygous
     assert del_row.samples[0]["GT"] == "0/1", del_row.samples[0]
@@ -153,3 +166,91 @@ def test_large_sv_genotyping(tmp_path):
     rows = {r.pos: r for r in reader}
     assert rows[del_pos + 1].samples[0]["GT"] == "0/1"
     assert rows[ins_pos + 1].samples[0]["GT"] == "1/1"
+
+
+def test_dense_containment_64_snvs(tmp_path):
+    """A ~2.8 kb deletion spanning 64 phased SNVs (each >= k from every
+    flank): flattening would need 2^64 joint paths and a beam would drop true
+    haplotypes; the nested-group path enumerates 64 independent child
+    clusters sampled conditionally on the deletion outcome — every call must
+    be exact (VERDICT round-1 item 1 acceptance criterion)."""
+    rng = np.random.default_rng(77)
+    seq = "".join(rng.choice(list("ACGT"), 8000))
+    genome = Genome()
+    genome.names = ["chr1"]
+    genome.sequences["chr1"] = seq.encode()
+
+    n_snv, spacing = 64, 42
+    del_pos = 2000
+    first_snv = 2100
+    snv_pos = [first_snv + i * spacing for i in range(n_snv)]
+    del_end = snv_pos[-1] + 150            # deletion covers all SNVs
+    del_ref = seq[del_pos : del_end + 1]
+    del_alt = seq[del_pos]
+
+    snv_alts = {}
+    for p in snv_pos:
+        snv_alts[p] = next(b for b in "ACGT" if b != seq[p])
+
+    write_fasta(str(tmp_path / "g.fa"), [("chr1", genome["chr1"])])
+    vcf_path = str(tmp_path / "v.vcf")
+    with open(vcf_path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n##contig=<ID=chr1,length=8000>\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        fh.write(f"chr1\t{del_pos + 1}\t.\t{del_ref}\t{del_alt}\t.\t.\t.\n")
+        for p in snv_pos:
+            fh.write(f"chr1\t{p + 1}\t.\t{seq[p]}\t{snv_alts[p]}\t.\t.\t.\n")
+
+    h_del = seq[: del_pos + 1] + seq[del_end + 1 :]
+    hs = list(seq)
+    for p in snv_pos:
+        hs[p] = snv_alts[p]
+    h_snv = "".join(hs)
+
+    # sample0: het deletion + all-alt SNVs on the retained copy
+    # sample1: het SNV haplotype vs reference (no deletion)
+    sample_haps = [
+        [h_del.encode(), h_snv.encode()],
+        [h_snv.encode(), seq.encode()],
+    ]
+    samples = []
+    for si, haps in enumerate(sample_haps):
+        hi, lo, mult = count_kmers_from_sequences(haps, K)
+        m = mult.astype(np.float64)
+        mm, vv = 15.0 * m, 30.0 * m
+        cnt = rng.negative_binomial(mm * mm / (vv - mm), mm / vv)
+        keep = cnt > 0
+        prefix = str(tmp_path / f"s{si}")
+        write_kmc1(prefix, hi[keep], lo[keep], cnt[keep], kmer_length=K)
+        samples.append(Sample(f"s{si}", GENDER_FEMALE, prefix))
+
+    ploidy = ChromosomePloidy.human_default()
+    unit = run_cluster_phase(genome, samples, vcf_path, ploidy, kmer_size=K)
+
+    # structure: 1 parent + 64 children in one group
+    assert len(unit.compiled) == n_snv + 1
+    parents = [fc for fc in unit.compiled if fc.parent_id < 0]
+    children = [fc for fc in unit.compiled if fc.parent_id >= 0]
+    assert len(parents) == 1 and len(children) == n_snv
+    assert all(fc.group_size == n_snv + 1 for fc in unit.compiled)
+
+    out = str(tmp_path / "out.vcf")
+    opts = GenotypeOptions(num_chains=6, burn_in=40, num_samples=100,
+                           kmer_subsampling_rate=1.0, random_seed=9)
+    genotype_unit(unit, samples, genome, ploidy, out, opts)
+
+    rows = {r.pos: r for r in VcfReader(out, parse_samples=True)}
+    del_row = rows[del_pos + 1]
+    assert del_row.samples[0]["GT"] == "0/1", del_row.samples[0]
+    assert del_row.samples[1]["GT"] == "0/0", del_row.samples[1]
+
+    bad = []
+    for p in snv_pos:
+        r = rows[p + 1]
+        gt0 = set(r.samples[0]["GT"].split("/"))
+        gt1 = set(r.samples[1]["GT"].split("/"))
+        if gt0 != {"1", "2"}:     # alt + missing(*) on the demoted copy
+            bad.append((p, 0, r.samples[0]["GT"]))
+        if gt1 != {"0", "1"}:     # plain het, no demotion
+            bad.append((p, 1, r.samples[1]["GT"]))
+    assert not bad, bad[:10]

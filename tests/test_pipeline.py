@@ -131,3 +131,52 @@ def test_determinism_same_seed(tmp_path, pipeline_result):
     genotype_unit(unit, samples, genome, ploidy, p1, opts)
     genotype_unit(unit, samples, genome, ploidy, p2, opts)
     assert open(p1).read() == open(p2).read()
+
+
+def test_parameter_dumps_written_and_consumable(pipeline_result):
+    """genotype must write <prefix>_genomic_parameters.txt
+    (CountDistribution.cpp:70-133) and <prefix>_noise_parameters.txt
+    (InferenceEngine.cpp:157-266), and `filter --kmer-coverage-file` must be
+    able to consume the genomic dump end-to-end."""
+    import os
+
+    genome, variants, samples, truth, out_path, summary, _ = pipeline_result
+    prefix = out_path[: -len(".vcf")]
+    gp = prefix + "_genomic_parameters.txt"
+    np_file = prefix + "_noise_parameters.txt"
+    assert os.path.exists(gp) and os.path.exists(np_file)
+
+    lines = open(gp).read().splitlines()
+    assert lines[0] == "Sample\tMean\tVariance"
+    assert len(lines) == 1 + len(samples)
+    for line, s in zip(lines[1:], samples):
+        name, mean, var = line.split("\t")
+        assert name == s.name
+        assert 5.0 < float(mean) < 40.0
+
+    nlines = open(np_file).read().splitlines()
+    assert nlines[0].split("\t") == ["Chain", "Iteration"] + [
+        s.name for s in samples
+    ]
+    # 6 chains x (1 init + 140 iterations) + final mean row
+    assert len(nlines) == 1 + 6 * 141 + 1
+    assert nlines[-1].startswith("0\t0\t")
+
+    # filter consumes the genomic parameters file
+    from bayestyper_tpu.tools.filter_tool import filter_vcf
+
+    filtered = out_path + ".filtered.vcf"
+    filter_vcf(out_path, filtered, kmer_coverage_file=gp)
+    assert os.path.exists(filtered)
+    rows = open(filtered).read().count("\n")
+    assert rows > len(variants)  # header + variant rows
+
+
+def test_ref_reconstituted_from_genome(pipeline_result):
+    """Written REF columns must be the literal genome substring at the
+    variant position (GenotypeWriter.cpp:477)."""
+    genome, variants, samples, truth, out_path, summary, _ = pipeline_result
+    for vv in VcfReader(out_path, parse_samples=False):
+        seq = genome[vv.chrom]
+        want = seq[vv.pos - 1 : vv.pos - 1 + len(vv.ref)].decode()
+        assert vv.ref == want, (vv.chrom, vv.pos, vv.ref, want)
