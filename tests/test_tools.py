@@ -62,6 +62,45 @@ def test_combine_merges_and_tags(tmp_path):
     assert aco["TG"] == "manta"
 
 
+def test_convert_allele_cnv_gscndist(tmp_path):
+    """<CNV> expands via GSCNDIST: one alt per copy number with mass > 0,
+    skipping CN1 (the reference copy); CN1-only <CN#> is excluded
+    (ConvertAllele.cpp:210-304)."""
+    g = Genome()
+    g.names = ["chr1"]
+    g.sequences["chr1"] = b"A" * 50 + b"ACGTACGTACGT" + b"T" * 50
+    src = _write_vcf(tmp_path / "cnv.vcf", [
+        # dist over CN0..CN4; CN1 mass is skipped by definition
+        _var(pos=51, ref="A", alts=("<CNV>",),
+             info={"END": "59", "GSCNDIST": "3,10,0,5,1"}),
+        # no supported copy number besides CN1 -> variant dropped
+        _var(pos=51, ref="A", alts=("<CNV>",),
+             info={"END": "59", "GSCNDIST": "0,10,0"}),
+        # missing GSCNDIST -> dropped
+        _var(pos=51, ref="A", alts=("<CNV>",), info={"END": "59"}),
+        # CN1 equals the reference -> excluded
+        _var(pos=51, ref="A", alts=("<CN1>",), info={"END": "59"}),
+        # multi-alt: unsupported alt dropped per-allele, variant survives
+        _var(pos=51, ref="A", alts=("<DEL>", "<TRA>"), info={"END": "59"}),
+    ])
+    out = str(tmp_path / "conv.vcf")
+    stats = convert_allele(src, g, out, verbose=False)
+    _, variants = __import__(
+        "bayestyper_tpu.io.vcf", fromlist=["read_all"]
+    ).read_all(out)
+    assert len(variants) == 2
+    seg = "CGTACGTA"
+    v = variants[0]
+    assert v.ref == "A" + seg
+    # CN0, CN3, CN4 (mass > 0, CN1 skipped, CN2 mass 0)
+    assert v.alts == ["A", "A" + seg * 3, "A" + seg * 4]
+    assert variants[1].alts == ["A"]  # DEL kept, TRA dropped
+    assert stats["included_by_type"]["<CNV>"] == 1
+    assert stats["skipped_by_type"]["<CNV>"] == 2
+    assert stats["skipped_by_type"]["<CN1>"] == 1
+    assert stats["skipped_by_type"]["<TRA>"] == 1
+
+
 def test_convert_allele_symbolic(tmp_path):
     g = Genome()
     g.names = ["chr1"]
