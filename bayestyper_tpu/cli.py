@@ -108,6 +108,7 @@ def cmd_genotype(args):
         noise_rate_prior=prior,
         noise_genotyping=args.noise_genotyping,
         random_seed=args.random_seed,
+        num_devices=args.devices or None,
     )
     out = args.output_prefix + ".vcf" + (".gz" if args.gzip_output else "")
     if opts.noise_genotyping:
@@ -180,6 +181,9 @@ def main(argv=None):
                    help="inference unit file from the cluster phase")
     p.add_argument("-z", "--gzip-output", action="store_true")
     p.add_argument("-p", "--threads", type=int, default=1)
+    p.add_argument("--devices", type=int, default=0,
+                   help="TPU chips for cluster-data-parallel genotyping "
+                        "(0 = all visible devices)")
     p.add_argument("-y", "--chromosome-ploidy-file", default="")
     p.add_argument("--gibbs-burn-in", type=int, default=100)
     p.add_argument("--gibbs-samples", type=int, default=250)
@@ -225,6 +229,9 @@ def main(argv=None):
     p.add_argument("--max-haplotype-variant-kmers", type=int, default=500)
     p.add_argument("--noise-genotyping", action="store_true")
     p.add_argument("-p", "--threads", type=int, default=1)
+    p.add_argument("--devices", type=int, default=0,
+                   help="TPU chips for cluster-data-parallel genotyping "
+                        "(0 = all visible devices)")
     p.add_argument("-z", "--gzip-output", action="store_true")
     p.set_defaults(func=cmd_workflow)
 
@@ -326,6 +333,7 @@ def cmd_workflow(args):
         noise_genotyping=args.noise_genotyping,
         random_seed=args.random_seed,
         num_host_threads=args.threads,
+        num_devices=args.devices or None,
     )
     unit_vcfs = []
     for i, path in enumerate(unit_paths, 1):

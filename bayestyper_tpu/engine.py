@@ -455,6 +455,39 @@ class GenotypeOptions:
     random_seed: int = 1
     max_bucket_clusters: int = 512
     num_host_threads: int = 1
+    # None = use every visible device (cluster-data-parallel over the mesh);
+    # results are bit-identical for any device count (counter-based per-
+    # cluster PRNG + exact-integer noise sufficient statistics)
+    num_devices: int | None = None
+
+
+def _get_mesh(opts: "GenotypeOptions"):
+    """Device mesh for cluster-data-parallel execution, or None when a single
+    device is in use. The TPU-native replacement for the reference's
+    `--threads` compute parallelism (InferenceEngine.cpp:62-74): buckets are
+    sharded on the cluster axis, XLA partitions the Gibbs programs, and the
+    noise chain's cross-cluster reductions become all-reduces over ICI."""
+    import jax
+
+    n = opts.num_devices
+    if n is None:
+        n = len(jax.devices())
+    if n <= 1:
+        return None
+    from .parallel.mesh import make_mesh
+
+    return make_mesh(n)
+
+
+def _shard_for_mesh(bucket, tables, mesh):
+    """Shard a bucket on the cluster axis and replicate the PMF tables."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .parallel.mesh import shard_bucket
+
+    bucket = shard_bucket(bucket, mesh)
+    tables = jax.device_put(tables, NamedSharding(mesh, P()))
+    return bucket, tables
 
 
 def _needs_cap(fcs, cap: int) -> bool:
@@ -528,6 +561,18 @@ def parameter_kmer_stats(unit, samples, table, counts):
                 out["mean"][si, m] = vals.mean()
                 out["var"][si, m] = vals.var(ddof=1) if len(vals) > 1 else 0.0
     return out
+
+
+def _pad_clusters(n: int, mesh) -> int:
+    """Cluster-axis padding: next power of two, rounded up to a multiple of
+    the mesh size so the bucket shards evenly. Padding clusters are
+    cluster_valid=0 and never influence real clusters' results."""
+    c = _pow2_at_least(n, 1)
+    if mesh is not None:
+        d = mesh.size
+        c = max(c, d)
+        c = ((c + d - 1) // d) * d
+    return c
 
 
 def _pow2_at_least(x, lo):
@@ -637,17 +682,21 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
             nb_params.p, nb_params.size, np.full(len(samples), 1e-3), 255
         )
     )
+    mesh = _get_mesh(opts)
 
     buckets, outcomes_list, cfgs = [], [], []
     for (h, k, v, a), fcs in sorted(by_class.items()):
-        c_pad = _pow2_at_least(len(fcs), 1)
+        c_pad = _pad_clusters(len(fcs), mesh)
         dicts = [
             _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
             for fc in fcs
         ]
-        buckets.append(
-            build_bucket(dicts, (c_pad, k, h, v), len(samples)).device_arrays()
-        )
+        bucket = build_bucket(
+            dicts, (c_pad, k, h, v), len(samples)
+        ).device_arrays()
+        if mesh is not None:
+            bucket, tables = _shard_for_mesh(bucket, tables, mesh)
+        buckets.append(bucket)
         outcomes_list.append(make_outcome_space(h))
         max_tot = int(
             min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in fcs)
@@ -782,6 +831,9 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             nb_params.p, nb_params.size, noise_rates, 255
         )
     )
+    mesh = _get_mesh(opts)
+    # nested families run on the default device; keep an unsharded handle
+    tables_local = tables
 
     filters = FilterConfig.from_model(
         nb_params.mean, opts.min_genotype_posterior, opts.min_number_of_kmers,
@@ -830,7 +882,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
         pending = None
         for start in range(0, len(fcs), opts.max_bucket_clusters):
             chunk = fcs[start : start + opts.max_bucket_clusters]
-            c_pad = _pow2_at_least(len(chunk), 1)
+            c_pad = _pad_clusters(len(chunk), mesh)
             dicts = [
                 _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
                 for fc in chunk
@@ -838,6 +890,8 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             bucket = build_bucket(
                 dicts, (c_pad, k, h, v), len(samples)
             ).device_arrays()
+            if mesh is not None:
+                bucket, tables = _shard_for_mesh(bucket, tables, mesh)
             tally, w = genotype_bucket(key, bucket, tables, outcomes, cfg)
             stats = collect_bucket_stats(
                 bucket, outcomes, tally, w, filters,
@@ -856,8 +910,8 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
 
     if nested:
         num_genotyped += _genotype_nested_set(
-            nested, samples, ploidy_model, counts, table, tables, filters,
-            writer, opts, rng, key,
+            nested, samples, ploidy_model, counts, table, tables_local,
+            filters, writer, opts, rng, key,
         )
         _log(f"Genotyped {num_genotyped} variants")
 
@@ -1111,7 +1165,8 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     v = max(_pow2_at_least(len(fc.variants), 1) for fc in fcs)
     a = max(_pow2_at_least(max(x.num_alleles for x in fc.variants), 2)
             for fc in fcs)
-    c_pad = _pow2_at_least(len(fcs), 1)
+    mesh = _get_mesh(opts)
+    c_pad = _pad_clusters(len(fcs), mesh)
     dicts = [
         _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
         for fc in fcs
@@ -1123,6 +1178,8 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
             nb_params.p, nb_params.size, np.full(len(samples), 1e-3), 255
         )
     )
+    if mesh is not None:
+        bucket, tables = _shard_for_mesh(bucket, tables, mesh)
     outcomes = make_outcome_space(h)
     max_tot = _step_at_least(
         min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in fcs)

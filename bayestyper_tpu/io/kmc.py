@@ -212,29 +212,29 @@ def write_kmc1(prefix_path: str, hi, lo, counts, kmer_length: int,
     n = len(hi)
 
     n_hi = min(27, k)
-    codes = np.empty((n, k), dtype=np.uint8)
-    for j in range(n_hi):
-        codes[:, j] = (hi >> np.uint64(2 * (n_hi - 1 - j))).astype(np.uint64) & np.uint64(3)
-    for j in range(n_hi, k):
-        codes[:, j] = (lo >> np.uint64(2 * (k - 1 - j))).astype(np.uint64) & np.uint64(3)
 
-    # prefix values + LUT
-    pref = np.zeros(n, dtype=np.uint64)
-    for j in range(lut_prefix_length):
-        pref = (pref << np.uint64(2)) | codes[:, j].astype(np.uint64)
+    def base_at(j):
+        """2-bit code of base j straight from the lanes (no [n, k] matrix)."""
+        if j < n_hi:
+            return (hi >> np.uint64(2 * (n_hi - 1 - j))) & np.uint64(3)
+        return (lo >> np.uint64(2 * (k - 1 - j))) & np.uint64(3)
+
+    # prefix values + LUT (lut_prefix_length <= 13 < n_hi: all in the hi lane)
+    assert lut_prefix_length <= n_hi
+    pref = hi >> np.uint64(2 * (n_hi - lut_prefix_length))
     num_pref = 1 << (2 * lut_prefix_length)
     lut = np.zeros(num_pref, dtype="<u8")
     starts = np.searchsorted(pref, np.arange(num_pref, dtype=np.uint64), side="left")
     lut[:] = starts
 
-    # suffix bytes
+    # suffix bytes: 4 bases per byte, combined by lane shifts
     suf = np.zeros((n, sufix_size), dtype=np.uint8)
     for bidx in range(sufix_size):
         base0 = lut_prefix_length + bidx * 4
-        suf[:, bidx] = (
-            (codes[:, base0] << 6) | (codes[:, base0 + 1] << 4)
-            | (codes[:, base0 + 2] << 2) | codes[:, base0 + 3]
-        )
+        byte = np.zeros(n, dtype=np.uint64)
+        for t in range(4):
+            byte = (byte << np.uint64(2)) | base_at(base0 + t)
+        suf[:, bidx] = byte.astype(np.uint8)
 
     ctr = np.zeros((n, counter_size), dtype=np.uint8)
     for b in range(counter_size):

@@ -551,8 +551,11 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
         sel = o_sel  # [C, S]
         a_sel = jnp.take_along_axis(a, sel[:, :, None], axis=2)[..., 0]
         b_sel = jnp.take_along_axis(b, sel[:, :, None], axis=2)[..., 0]
-        count_sum = jnp.sum(a_sel * cv[:, None], axis=0)      # [S]
-        num_obs = jnp.sum(b_sel * cv[:, None], axis=0)
+        # A/B are integer-valued (0/1-weighted uint8 count sums), so an int32
+        # reduction is exact and independent of summation/sharding order —
+        # this is what makes noise rates bit-identical for any chip count
+        count_sum = jnp.sum((a_sel * cv[:, None]).astype(jnp.int32), axis=0)
+        num_obs = jnp.sum((b_sel * cv[:, None]).astype(jnp.int32), axis=0)
         if axis_name is not None:
             count_sum = jax.lax.psum(count_sum, axis_name)
             num_obs = jax.lax.psum(num_obs, axis_name)
@@ -775,8 +778,13 @@ def noise_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
             )
             a_sel = jnp.take_along_axis(su["a"], o_sel[:, :, None], axis=2)[..., 0]
             b_sel = jnp.take_along_axis(su["b"], o_sel[:, :, None], axis=2)[..., 0]
-            count_sum = count_sum + jnp.sum(a_sel * su["cv"][:, None], axis=0)
-            num_obs = num_obs + jnp.sum(b_sel * su["cv"][:, None], axis=0)
+            # int32: exact, order-independent (see noise_chain)
+            count_sum = count_sum + jnp.sum(
+                (a_sel * su["cv"][:, None]).astype(jnp.int32), axis=0
+            )
+            num_obs = num_obs + jnp.sum(
+                (b_sel * su["cv"][:, None]).astype(jnp.int32), axis=0
+            )
             new_freqs_list.append(new_freqs)
 
         if axis_name is not None:
@@ -866,8 +874,9 @@ def joint_chain(base_key, bucket: ClusterBucket, tables, init_rates,
 
         a_sel = jnp.take_along_axis(a, o_sel[:, :, None], axis=2)[..., 0]
         b_sel = jnp.take_along_axis(b, o_sel[:, :, None], axis=2)[..., 0]
-        count_sum = jnp.sum(a_sel * cv[:, None], axis=0)
-        num_obs = jnp.sum(b_sel * cv[:, None], axis=0)
+        # int32: exact, order-independent (see noise_chain)
+        count_sum = jnp.sum((a_sel * cv[:, None]).astype(jnp.int32), axis=0)
+        num_obs = jnp.sum((b_sel * cv[:, None]).astype(jnp.int32), axis=0)
         if axis_name is not None:
             count_sum = jax.lax.psum(count_sum, axis_name)
             num_obs = jax.lax.psum(num_obs, axis_name)

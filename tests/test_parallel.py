@@ -50,3 +50,41 @@ def test_noise_chain_psum():
     assert rs.shape == (bucket.num_samples,)
     assert np.isfinite(rs).all() and (rs > 0).all()
     assert np.asarray(trace).shape == (8, bucket.num_samples)
+
+
+def test_genotype_unit_device_count_byte_identical(tmp_path):
+    """The production genotype path (real pipeline-compiled unit, noise
+    estimation + genotyping + writer) produces a byte-identical VCF on 1
+    device and on the full 8-device mesh (VERDICT r1 item 6): counter-based
+    per-cluster PRNG + exact-integer noise sufficient statistics make the
+    sharded program equal to the single-chip one bit for bit."""
+    import numpy as np
+    from bayestyper_tpu.engine import (
+        GenotypeOptions, genotype_unit, run_cluster_phase,
+    )
+    from bayestyper_tpu.io.samples import ChromosomePloidy
+    from tests.util_sim import write_sim_data
+
+    rng = np.random.default_rng(42)
+    truth = [
+        [tuple(sorted(rng.integers(0, 2, 2))) for _ in range(18)]
+        for _ in range(2)
+    ]
+    genome, _, vcf_path, variants, samples = write_sim_data(
+        tmp_path, rng, truth, k=31, num_snv=6, num_ins=1, num_del=1,
+        genome_len=16000, coverage=15.0,
+    )
+    ploidy = ChromosomePloidy.human_default()
+    unit = run_cluster_phase(
+        genome, samples, vcf_path, ploidy, kmer_size=31,
+        max_parameter_kmers=50000,
+    )
+    paths = []
+    for ndev in (1, 8):
+        out = str(tmp_path / f"gt_dev{ndev}.vcf")
+        opts = GenotypeOptions(num_chains=2, burn_in=10, num_samples=20,
+                               random_seed=11, num_devices=ndev)
+        genotype_unit(unit, samples, genome, ploidy, out, opts)
+        paths.append(out)
+    b1, b8 = (open(p, "rb").read() for p in paths)
+    assert b1 == b8
