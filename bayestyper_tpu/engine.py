@@ -1132,12 +1132,16 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     """Joint noise+genotype estimation (--noise-genotyping,
     estimateNoiseAndGenotypes InferenceEngine.cpp:384-472): every Gibbs
     iteration couples all clusters through the noise rate; tallies collected
-    post-burn-in. All clusters are padded into ONE unified size class so the
-    per-iteration noise coupling stays inside one compiled scan."""
+    post-burn-in. Clusters are bucketed per size class — one compiled scan
+    steps every class each iteration and pools the noise sufficient
+    statistics across classes (joint_chain_multi), so one giant cluster no
+    longer inflates every cluster's padding."""
     import jax
     import jax.numpy as jnp
     from .model.buckets import build_bucket
-    from .model.gibbs import GibbsConfig, joint_chain, make_outcome_space
+    from .model.gibbs import (
+        GibbsConfig, joint_chain_multi, make_outcome_space,
+    )
     from .model.stats import FilterConfig, collect_bucket_stats
     from .ops.distributions import np_build_count_log_prob_tables
 
@@ -1160,67 +1164,75 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     if not fcs:
         fcs = list(unit.compiled)
         nested = []
-    h = max(_pow2_at_least(fc.hap_allele.shape[0], 2) for fc in fcs)
-    k = max(_pow2_at_least(max(len(fc.kmer_hi), 1), 32) for fc in fcs)
-    v = max(_pow2_at_least(len(fc.variants), 1) for fc in fcs)
-    a = max(_pow2_at_least(max(x.num_alleles for x in fc.variants), 2)
-            for fc in fcs)
     mesh = _get_mesh(opts)
-    c_pad = _pad_clusters(len(fcs), mesh)
-    dicts = [
-        _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
-        for fc in fcs
-    ]
-    bucket = build_bucket(dicts, (c_pad, k, h, v), len(samples)).device_arrays()
 
     tables = jnp.asarray(
         np_build_count_log_prob_tables(
             nb_params.p, nb_params.size, np.full(len(samples), 1e-3), 255
         )
     )
-    if mesh is not None:
-        bucket, tables = _shard_for_mesh(bucket, tables, mesh)
-    outcomes = make_outcome_space(h)
-    max_tot = _step_at_least(
-        min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in fcs)
-            + max(int(fc.inter_mult_female.max(initial=0)) for fc in fcs)
-            + max(int(fc.inter_mult_male.max(initial=0)) for fc in fcs)), 8, 4,
-    )
-    cfg = GibbsConfig(
-        num_chains=1, burn_in=opts.burn_in, num_samples=opts.num_samples,
-        kmer_subsampling_rate=opts.kmer_subsampling_rate,
-        max_total_mult=max_tot,
-        max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
-        apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
-    )
+
+    by_class = defaultdict(list)
+    for fc in fcs:
+        by_class[_size_class(fc)].append(fc)
+
+    class_fcs, buckets, outcomes_list, cfgs, caps_a = [], [], [], [], []
+    for (h, k, v, a), cls_fcs in sorted(by_class.items()):
+        c_pad = _pad_clusters(len(cls_fcs), mesh)
+        dicts = [
+            _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
+            for fc in cls_fcs
+        ]
+        bucket = build_bucket(
+            dicts, (c_pad, k, h, v), len(samples)
+        ).device_arrays()
+        if mesh is not None:
+            bucket, tables = _shard_for_mesh(bucket, tables, mesh)
+        max_tot = _step_at_least(
+            min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in cls_fcs)
+                + max(int(fc.inter_mult_female.max(initial=0))
+                      for fc in cls_fcs)
+                + max(int(fc.inter_mult_male.max(initial=0))
+                      for fc in cls_fcs)),
+            8, 4,
+        )
+        class_fcs.append(cls_fcs)
+        buckets.append(bucket)
+        outcomes_list.append(make_outcome_space(h))
+        cfgs.append(GibbsConfig(
+            num_chains=1, burn_in=opts.burn_in, num_samples=opts.num_samples,
+            kmer_subsampling_rate=opts.kmer_subsampling_rate,
+            max_total_mult=max_tot,
+            max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
+            apply_cap=_needs_cap(cls_fcs, opts.max_haplotype_variant_kmers),
+        ))
+        caps_a.append(a)
+    _log(f"Joint mode: {len(fcs)} clusters in {len(buckets)} size classes")
 
     shape, scale = opts.noise_rate_prior
     key = jax.random.PRNGKey(opts.random_seed)
-    tallies, ws, traces = [], [], []
+    tallies_per_class = [[] for _ in buckets]
+    ws_per_class = [[] for _ in buckets]
+    traces = []
     for chain in range(opts.num_chains):
         k_init = jax.random.fold_in(jax.random.fold_in(key, 77), chain)
         init_rates = jax.random.gamma(k_init, shape, (len(samples),)) * scale
-        tally, w, trace = joint_chain(
-            key, bucket, tables, init_rates, (shape, scale), outcomes, cfg,
-            chain_idx=chain,
+        tallies, ws, trace = joint_chain_multi(
+            key, tuple(buckets), tables, init_rates, (shape, scale),
+            tuple(outcomes_list), tuple(cfgs), chain_idx=chain,
         )
-        tallies.append(tally)
-        ws.append(w)
+        for bi in range(len(buckets)):
+            tallies_per_class[bi].append(tallies[bi])
+            ws_per_class[bi].append(ws[bi])
         traces.append(np.concatenate(
             [np.asarray(init_rates)[None], np.asarray(trace)], axis=0
         ))
         _log(f"Finished {chain + 1} gibbs sampling chain"
              f"{'s' if chain else ''}")
 
-    tally = jnp.stack(tallies, axis=1)   # [C, chains, S, O]
-    w = jnp.stack(ws, axis=1)            # [C, chains, K]
-
     filters = FilterConfig.from_model(
         nb_params.mean, opts.min_genotype_posterior, opts.min_number_of_kmers,
         opts.disable_observed_kmers,
-    )
-    stats = collect_bucket_stats(
-        bucket, outcomes, tally, w, filters, allele_capacity=a, mac_top_t=8,
     )
     prefix = _output_prefix(out_path)
     write_genomic_parameters(prefix, samples, nb_params)
@@ -1231,7 +1243,14 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     writer = GenotypeVcfWriter(
         out_path, genome, [s.name for s in samples], command_lines
     )
-    _emit_records(writer, fcs, stats, samples, ploidy_model)
+    for bi, cls_fcs in enumerate(class_fcs):
+        tally = jnp.stack(tallies_per_class[bi], axis=1)  # [C, chains, S, O]
+        w = jnp.stack(ws_per_class[bi], axis=1)           # [C, chains, K]
+        stats = collect_bucket_stats(
+            buckets[bi], outcomes_list[bi], tally, w, filters,
+            allele_capacity=caps_a[bi], mac_top_t=8,
+        )
+        _emit_records(writer, cls_fcs, stats, samples, ploidy_model)
     if nested:
         frozen_tables = jnp.asarray(
             np_build_count_log_prob_tables(

@@ -809,74 +809,106 @@ def noise_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("outcomes", "cfg", "axis_name")
+    jax.jit, static_argnames=("outcomes_list", "cfgs", "axis_name")
 )
-def joint_chain(base_key, bucket: ClusterBucket, tables, init_rates,
-                noise_prior, outcomes: OutcomeSpace, cfg: GibbsConfig,
-                chain_idx, axis_name: str | None = None):
-    """One joint noise+genotyping chain (--noise-genotyping,
-    estimateNoiseAndGenotypes InferenceEngine.cpp:384-472): like noise_chain
-    but over ALL clusters, collecting post-burn-in outcome tallies for
-    genotype estimation while the noise rate is resampled every iteration.
+def joint_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
+                      outcomes_list, cfgs, chain_idx,
+                      axis_name: str | None = None):
+    """One joint noise+genotyping chain over MULTIPLE size-class buckets
+    (--noise-genotyping, estimateNoiseAndGenotypes InferenceEngine.cpp:384-472).
 
-    Returns (tally [C, S, O], w [C, K], rate_trace [iters, S]).
+    Like noise_chain_multi — every iteration all clusters of every size class
+    draw diplotypes under the current noise rates and the gamma update pools
+    the zero-multiplicity sufficient statistics across classes — but
+    additionally collects post-burn-in outcome tallies per bucket for
+    genotype estimation. Per-class buckets keep the memory at
+    sum_class(C*K*H) instead of C_total*K_max*H_max (one giant cluster no
+    longer inflates every cluster's padding) while the per-iteration noise
+    coupling stays exact inside one compiled scan.
+
+    Returns (tallies, ws, rate_trace): tuples per bucket — tally [C, S, O_b]
+    int32, w [C, K_b] bool — plus the [iters, S] rate trace.
     """
-    c = bucket.num_clusters
-    s = bucket.num_samples
-    o = outcomes.num_outcomes
-    num_iters = cfg.burn_in + cfg.num_samples
+    num_iters = cfgs[0].burn_in + cfgs[0].num_samples
     prior_shape, prior_scale = noise_prior
+    k_master = jax.random.fold_in(base_key, jnp.uint32(chain_idx))
+    k_noise = jax.random.fold_in(k_master, jnp.uint32(0x6E6F6973))  # "nois"
 
-    k_sub, k_chain, k_noise = jax.random.split(
-        jax.random.fold_in(base_key, jnp.uint32(chain_idx)), 3
-    )
-    w = _subsample_with_cap(k_sub, bucket, 1, cfg)
-
-    llg = compute_log_likelihoods(
-        bucket, outcomes, tables, w, cfg.max_total_mult, include_noise_row=False
-    )[:, 0]
-    a, b, c0 = compute_noise_terms(bucket, outcomes, w)
-    a, b, c0 = a[:, 0], b[:, 0], c0[:, 0]
-    ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
-
-    osp = (
-        jnp.asarray(outcomes.oa),
-        jnp.asarray(outcomes.ob),
-        jnp.asarray(outcomes.het_bonus),
-        jnp.asarray(outcomes.ploidy_mask),
-    )
-    cluster_keys = jax.vmap(
-        lambda cid: jax.random.fold_in(
-            jax.random.fold_in(k_chain, cid.astype(jnp.uint32)), 0
+    setups = []
+    for bi, (bucket, outcomes, cfg) in enumerate(
+        zip(buckets, outcomes_list, cfgs)
+    ):
+        kb = jax.random.fold_in(k_master, jnp.uint32(bi))
+        k_sub, k_chain = jax.random.split(kb)
+        w = _subsample_with_cap(k_sub, bucket, 1, cfg)
+        llg = compute_log_likelihoods(
+            bucket, outcomes, tables, w, cfg.max_total_mult,
+            include_noise_row=False,
+        )[:, 0]
+        a, b, c0 = compute_noise_terms(bucket, outcomes, w)
+        a, b, c0 = a[:, 0], b[:, 0], c0[:, 0]
+        ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
+        osp = (
+            jnp.asarray(outcomes.oa),
+            jnp.asarray(outcomes.ob),
+            jnp.asarray(outcomes.het_bonus),
+            jnp.asarray(outcomes.ploidy_mask),
         )
-    )(bucket.cluster_id)
-
-    hv = bucket.hap_valid
-    nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
-    freqs0 = jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)
-    cv = bucket.cluster_valid.astype(jnp.float32)
+        cluster_keys = jax.vmap(
+            lambda cid, kc=k_chain: jax.random.fold_in(
+                jax.random.fold_in(kc, cid.astype(jnp.uint32)), 0
+            )
+        )(bucket.cluster_id)
+        hv = bucket.hap_valid
+        nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
+        freqs0 = jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)
+        cv = bucket.cluster_valid.astype(jnp.float32)
+        setups.append(
+            dict(bucket=bucket, w=w, llg=llg, a=a, b=b, c0=c0,
+                 ll_mask=ll_mask, osp=osp, cluster_keys=cluster_keys,
+                 freqs0=freqs0, cv=cv,
+                 num_outcomes=outcomes.num_outcomes)
+        )
 
     def step(carry, t):
-        freqs, rates, tally = carry
+        freqs_list, rates, tally_list = carry
         log_r = jnp.log(jnp.maximum(rates, 1e-30))
-        ll = llg + (
-            a * log_r[None, :, None] - b * rates[None, :, None] - c0
-        ) * ll_mask
+        count_sum = jnp.zeros(rates.shape, jnp.int32)
+        num_obs = jnp.zeros(rates.shape, jnp.int32)
+        new_freqs_list, new_tally_list = [], []
+        collect = (t >= cfgs[0].burn_in).astype(jnp.int32)
+        for su, freqs, tally in zip(setups, freqs_list, tally_list):
+            ll = su["llg"] + (
+                su["a"] * log_r[None, :, None]
+                - su["b"] * rates[None, :, None]
+                - su["c0"]
+            ) * su["ll_mask"]
 
-        def per_cluster(ck, f, llc, ploidy, hvc, sp, usp):
-            key = jax.random.fold_in(ck, t.astype(jnp.uint32))
-            return _gibbs_iteration(key, f, llc, ploidy, hvc, sp, usp, osp)
+            def per_cluster(ck, f, llc, ploidy, hvc, sp, usp, osp=su["osp"]):
+                key = jax.random.fold_in(ck, t.astype(jnp.uint32))
+                return _gibbs_iteration(key, f, llc, ploidy, hvc, sp, usp, osp)
 
-        new_freqs, o_sel = jax.vmap(per_cluster)(
-            cluster_keys, freqs, ll, bucket.ploidy, hv,
-            bucket.sparsity, bucket.use_sparse,
-        )
+            bucket = su["bucket"]
+            new_freqs, o_sel = jax.vmap(per_cluster)(
+                su["cluster_keys"], freqs, ll, bucket.ploidy,
+                bucket.hap_valid, bucket.sparsity, bucket.use_sparse,
+            )
+            a_sel = jnp.take_along_axis(su["a"], o_sel[:, :, None], axis=2)[..., 0]
+            b_sel = jnp.take_along_axis(su["b"], o_sel[:, :, None], axis=2)[..., 0]
+            # int32: exact, order-independent (see noise_chain)
+            count_sum = count_sum + jnp.sum(
+                (a_sel * su["cv"][:, None]).astype(jnp.int32), axis=0
+            )
+            num_obs = num_obs + jnp.sum(
+                (b_sel * su["cv"][:, None]).astype(jnp.int32), axis=0
+            )
+            onehot = (
+                jnp.arange(su["num_outcomes"], dtype=jnp.int32)[None, None, :]
+                == o_sel[..., None]
+            ).astype(jnp.int32)
+            new_tally_list.append(tally + collect * onehot)
+            new_freqs_list.append(new_freqs)
 
-        a_sel = jnp.take_along_axis(a, o_sel[:, :, None], axis=2)[..., 0]
-        b_sel = jnp.take_along_axis(b, o_sel[:, :, None], axis=2)[..., 0]
-        # int32: exact, order-independent (see noise_chain)
-        count_sum = jnp.sum((a_sel * cv[:, None]).astype(jnp.int32), axis=0)
-        num_obs = jnp.sum((b_sel * cv[:, None]).astype(jnp.int32), axis=0)
         if axis_name is not None:
             count_sum = jax.lax.psum(count_sum, axis_name)
             num_obs = jax.lax.psum(num_obs, axis_name)
@@ -887,16 +919,21 @@ def joint_chain(base_key, bucket: ClusterBucket, tables, init_rates,
         scale = prior_scale / (num_obs * prior_scale + 1.0)
         new_rates = fixed_round_gamma(k_it, shape) * scale
 
-        collect = (t >= cfg.burn_in).astype(jnp.int32)
-        onehot = (
-            jnp.arange(o, dtype=jnp.int32)[None, None, :] == o_sel[..., None]
-        ).astype(jnp.int32)
-        tally = tally + collect * onehot
-        return (new_freqs, new_rates, tally), new_rates
+        return (
+            tuple(new_freqs_list), new_rates, tuple(new_tally_list)
+        ), new_rates
 
-    tally0 = jnp.zeros((c, s, o), jnp.int32)
-    (_, _, tally), trace = jax.lax.scan(
-        step, (freqs0, init_rates, tally0),
+    tally0 = tuple(
+        jnp.zeros(
+            (su["bucket"].num_clusters, su["bucket"].num_samples,
+             su["num_outcomes"]),
+            jnp.int32,
+        )
+        for su in setups
+    )
+    freqs0_list = tuple(su["freqs0"] for su in setups)
+    (_, _, tallies), trace = jax.lax.scan(
+        step, (freqs0_list, init_rates, tally0),
         jnp.arange(num_iters, dtype=jnp.int32),
     )
-    return tally, w[:, 0], trace
+    return tallies, tuple(su["w"][:, 0] for su in setups), trace
