@@ -133,18 +133,39 @@ class InferenceUnitData:
 
 
 def _scan_genome_kmers(genome, regions, kmer_size, chunk=4_000_000):
-    """Yield (chrom, hi, lo) canonical lanes for region k-mers, chunked."""
+    """Yield (chrom, hi, lo) canonical lanes for region k-mers, chunked.
+
+    Regions of one chromosome are concatenated with 'N' separators into
+    chunk-sized buffers so one native extraction pass serves thousands of
+    short intercluster regions (the separator invalidates cross-region
+    k-mers, so the union of per-region k-mer multisets is preserved)."""
+    from collections import defaultdict as _dd
+
+    by_chrom = _dd(list)
     for chrom, start, end in regions:
+        by_chrom[chrom].append((start, end))
+
+    for chrom, spans in by_chrom.items():
         seq = genome[chrom]
-        pos = start
-        while pos < end:
-            stop = min(pos + chunk, end)
-            if stop - pos < kmer_size:
-                break
-            codes, valid = encode_bases(seq[pos : stop])
+        parts = []
+        size = 0
+        for start, end in spans:
+            while start < end:
+                stop = min(start + chunk, end)
+                if stop - start < kmer_size:
+                    break
+                parts.append(seq[start:stop])
+                size += stop - start + 1
+                if size >= chunk:
+                    codes, valid = encode_bases(b"N".join(parts))
+                    hi, lo, ok = kmer_lanes(codes, valid, kmer_size)
+                    yield chrom, hi[ok], lo[ok]
+                    parts, size = [], 0
+                start = stop - (kmer_size - 1) if stop < end else end
+        if parts:
+            codes, valid = encode_bases(b"N".join(parts))
             hi, lo, ok = kmer_lanes(codes, valid, kmer_size)
             yield chrom, hi[ok], lo[ok]
-            pos = stop - (kmer_size - 1)
 
 
 def run_cluster_phase(
@@ -218,69 +239,77 @@ def run_cluster_phase(
         f"(excluded: { {k: v for k, v in stats.items() if k != 'parsed'} })"
     )
 
-    # 2. compile clusters: paths + kmer matrices (thread pool over clusters —
-    # the numpy kernels inside release the GIL; replaces the reference's
-    # strided `-p` thread pool, KmerCounter.cpp:61-67)
-    by_id = {cl.cluster_id: cl for cl in all_clusters}
+    # 2. compile clusters: paths + kmer matrices, batched across clusters
+    # (graph/batch_compiler.py — replaces the reference's strided `-p` thread
+    # pool, KmerCounter.cpp:61-67, with global vectorised passes)
+    from .graph.batch_compiler import compile_clusters_batch
 
-    def _compile(cl):
-        spans = [
+    by_id = {cl.cluster_id: cl for cl in all_clusters}
+    child_spans_by_id = {
+        cl.cluster_id: [
             (by_id[cid].start, by_id[cid].end - 1) for cid in cl.children_ids
         ]
-        return compile_cluster(
-            cl, genome[cl.chrom], kmer_size, sample_blooms,
-            max_sample_haplotypes, child_spans=spans,
-        )
-
-    if num_threads > 1 and len(all_clusters) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=num_threads) as pool:
-            compiled = list(pool.map(_compile, all_clusters))
-    else:
-        compiled = [_compile(cl) for cl in all_clusters]
+        for cl in all_clusters
+        if cl.children_ids
+    }
+    compiled = compile_clusters_batch(
+        all_clusters, genome, kmer_size, sample_blooms,
+        max_sample_haplotypes, child_spans_by_id=child_spans_by_id, log=_log,
+    )
     _log(f"Compiled {len(compiled)} cluster graphs")
 
     # 3. multigroup exclusion: kmers whose paths span >1 cluster group
-    # (countPathMultigroupKmers, KmerCounter.cpp:105-169) — exact here
+    # (countPathMultigroupKmers, KmerCounter.cpp:105-169) — exact here.
+    # One concatenation + one lexsort serves multigroup detection, the
+    # all-path union table AND the per-cluster exclusion indices below.
     if compiled:
-        all_hi = np.concatenate([c.kmer_hi for c in compiled])
-        all_lo = np.concatenate([c.kmer_lo for c in compiled])
-        order = np.lexsort((all_lo, all_hi))
-        sh, sl = all_hi[order], all_lo[order]
+        cat_hi = np.concatenate([c.kmer_hi for c in compiled])
+        cat_lo = np.concatenate([c.kmer_lo for c in compiled])
+        lens = np.fromiter((len(c.kmer_hi) for c in compiled), np.int64,
+                           len(compiled))
+        offs = np.zeros(len(compiled) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        member_any_all = np.concatenate(
+            [c.member.any(axis=(1, 2)) for c in compiled]
+        )
+
+        order = np.lexsort((cat_lo, cat_hi))
+        sh, sl = cat_hi[order], cat_lo[order]
         first = np.ones(len(sh), bool)
         if len(sh):
             first[1:] = (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])
-        starts = np.flatnonzero(first)
-        occ = np.diff(np.append(starts, len(sh)))
+        # union row index per concatenated entry, in original order
+        urow_sorted = np.cumsum(first) - 1
+        midx_all = np.empty(len(sh), np.int64)
+        midx_all[order] = urow_sorted
+        u_hi, u_lo = sh[first], sl[first]
+        occ = np.bincount(urow_sorted, minlength=len(u_hi))
         multi_mask = occ > 1
         multigroup = LaneTable.from_unsorted_unique(
-            sh[starts][multi_mask], sl[starts][multi_mask]
+            u_hi[multi_mask], u_lo[multi_mask]
         )
+        ex_multi_all = multi_mask[midx_all]
+        # all-path union rows are exactly (u_hi, u_lo), already sorted —
+        # build the table without re-sorting
+        all_path_union = LaneTable.__new__(LaneTable)
+        all_path_union.hi = np.ascontiguousarray(u_hi)
+        all_path_union.lo = np.ascontiguousarray(u_lo)
+        member_flags = np.zeros(len(all_path_union), dtype=bool)
+        member_flags[midx_all[member_any_all]] = True
     else:
         multigroup = LaneTable(np.zeros(0, np.uint64), np.zeros(0, np.uint64))
+        all_path_union = LaneTable(
+            np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+        )
+        member_flags = np.zeros(0, dtype=bool)
+        midx_all = np.zeros(0, np.int64)
+        ex_multi_all = np.zeros(0, bool)
+        offs = np.zeros(1, np.int64)
     _log(f"Found {len(multigroup)} multigroup kmers")
 
     # 4. intercluster regions + multiplicities + decoy occurrences + parameter
     # kmer sampling (KmerCounter.cpp:171-386)
     regions = intercluster_regions(genome, clusters_by_chrom, kmer_size)
-
-    # single combined table over all path kmers, with a member-row flag —
-    # one lookup per genome chunk serves both the intercluster-multiplicity
-    # update (member rows) and the parameter-candidate test (any row)
-    all_path_union = LaneTable.from_unsorted_unique(
-        np.concatenate([c.kmer_hi for c in compiled]) if compiled else np.zeros(0, np.uint64),
-        np.concatenate([c.kmer_lo for c in compiled]) if compiled else np.zeros(0, np.uint64),
-    )
-    member_flags = np.zeros(len(all_path_union), dtype=bool)
-    if compiled:
-        mem_hi = np.concatenate(
-            [c.kmer_hi[c.member.any(axis=(1, 2))] for c in compiled]
-        )
-        mem_lo = np.concatenate(
-            [c.kmer_lo[c.member.any(axis=(1, 2))] for c in compiled]
-        )
-        member_flags[all_path_union.lookup(mem_hi, mem_lo)] = True
 
     inter_f = np.zeros(len(all_path_union), dtype=np.int32)
     inter_m = np.zeros(len(all_path_union), dtype=np.int32)
@@ -354,45 +383,55 @@ def run_cluster_phase(
          f"intercluster sequence")
 
     # 5. finalise clusters: keep member kmers that are not excluded
-    # (isExcluded = decoy | max-mult | multigroup, KmerCounts.cpp:93-96)
+    # (isExcluded = decoy | max-mult | multigroup, KmerCounts.cpp:93-96).
+    # All lookups were precomputed globally in step 3 (midx_all slices);
+    # the loop only slices and packs.
     final = []
-    for c in compiled:
-        member_any = c.member.any(axis=(1, 2))
-        ex_multi = multigroup.contains(c.kmer_hi, c.kmer_lo)
-        midx = all_path_union.lookup(c.kmer_hi, c.kmer_lo)
-        safe = np.maximum(midx, 0)
-        ex_decoy = np.where(midx >= 0, decoy_hit[safe], False)
+    for i, c in enumerate(compiled):
+        sl = slice(offs[i], offs[i + 1])
+        member_any = member_any_all[sl]
+        ex_multi = ex_multi_all[sl]
+        midx = midx_all[sl]
+        ex_decoy = decoy_hit[midx]
         # has_max_multiplicity (KmerCounts.cpp:153-158): genome occurrences
         # plus the cluster's max path multiplicity overflowing 127 excludes
         # hyper-repetitive kmers from genotyping
-        total_mult = (
-            np.where(midx >= 0, occ_count[safe], 0)
-            + c.mult.max(axis=1).astype(np.int64)
-        )
+        total_mult = occ_count[midx] + c.mult.max(axis=1).astype(np.int64)
         ex_maxmult = total_mult > MAX_HAPLOID_MULTIPLICITY
         keep = member_any & ~ex_multi & ~ex_decoy & ~ex_maxmult
         keep = _cap_haplotype_variant_kmers(c, keep, rng)
-        inter_f_c = np.where(midx >= 0, inter_f[safe], 0)[keep]
-        inter_m_c = np.where(midx >= 0, inter_m[safe], 0)[keep]
+        if keep.all():
+            # common case: nothing excluded — reuse the compiled arrays
+            kmer_hi, kmer_lo = c.kmer_hi, c.kmer_lo
+            mult, member = c.mult, c.member
+            inter_f_c = inter_f[midx]
+            inter_m_c = inter_m[midx]
+            num_excluded = 0
+        else:
+            kmer_hi, kmer_lo = c.kmer_hi[keep], c.kmer_lo[keep]
+            mult, member = c.mult[keep], c.member[keep]
+            inter_f_c = inter_f[midx][keep]
+            inter_m_c = inter_m[midx][keep]
+            num_excluded = int((member_any & ~keep).sum())
         final.append(
             FinalizedCluster(
                 cluster_id=c.cluster_id,
                 chrom=c.chrom,
                 variants=c.variants,
                 hap_allele=c.hap_allele,
-                kmer_hi=c.kmer_hi[keep],
-                kmer_lo=c.kmer_lo[keep],
-                mult=c.mult[keep],
-                member=c.member[keep],
+                kmer_hi=kmer_hi,
+                kmer_lo=kmer_lo,
+                mult=mult,
+                member=member,
                 inter_mult_female=np.minimum(inter_f_c, 255).astype(np.uint8),
                 inter_mult_male=np.minimum(inter_m_c, 255).astype(np.uint8),
                 non_covered_alleles=c.non_covered_alleles,
-                num_excluded=int((member_any & ~keep).sum()),
+                num_excluded=num_excluded,
                 group_id=c.group_id,
                 group_size=c.group_size,
                 group_region=c.group_region,
                 parent_id=c.parent_id,
-                children_ids=list(c.children_ids),
+                children_ids=c.children_ids,
                 depth=c.depth,
                 retains=c.retains,
             )
@@ -1420,6 +1459,8 @@ def _cap_haplotype_variant_kmers(compiled_cluster, keep, rng,
     """
     member = compiled_cluster.member  # [K, V, H] bool
     k, v, h = member.shape
+    if k <= cap:  # the pool cannot exceed the cap
+        return keep
     totals = member[keep].sum(axis=0)  # [V, H]
     if not (totals > cap).any():
         return keep

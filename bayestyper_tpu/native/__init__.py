@@ -67,6 +67,7 @@ def get_lib():
     i32 = ctypes.c_int32
     u64 = ctypes.c_uint64
 
+    lib.bt_segment_sort.argtypes = [u64p, u64p, i64p, i64, i64p]
     lib.bt_kmer_lanes.argtypes = [u8p, u8p, i64, i32, u64p, u64p, u8p]
     lib.bt_lane_lookup.argtypes = [u64p, u64p, i64, u64p, u64p, i64, i64p]
     lib.bt_kmc_decode.argtypes = [u8p, i64, i32, i32, i32, u64p, i32, i32,
@@ -79,6 +80,19 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def segment_sort(hi, lo, seg_off):
+    """Per-segment (hi, lo) argsort; returns the global permutation."""
+    lib = get_lib()
+    perm = np.empty(len(hi), dtype=np.int64)
+    lib.bt_segment_sort(
+        np.ascontiguousarray(hi, np.uint64),
+        np.ascontiguousarray(lo, np.uint64),
+        np.ascontiguousarray(seg_off, np.int64),
+        len(seg_off) - 1, perm,
+    )
+    return perm
 
 
 def kmer_lanes(codes, valid, k):

@@ -10,10 +10,31 @@
 //
 // Build: c++ -O3 -march=native -shared -fPIC -o libbtnative.so btnative.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <numeric>
 
 extern "C" {
+
+// --- per-segment (hi, lo) argsort ----------------------------------------
+//
+// Entries are grouped into contiguous segments (one per cluster); each
+// segment is argsorted by (hi, lo) independently. Replaces a global 3-key
+// lexsort for the batch cluster compiler: small cache-resident sorts beat a
+// 64-bit radix pass over the whole array ~5x (the reference's analogue is
+// the per-leaf LinearMap sort, LinearMap.tpp:123-212).
+// seg_off: n_segs+1 offsets into the entry arrays; perm: out, global indices.
+void bt_segment_sort(const uint64_t* hi, const uint64_t* lo,
+                     const int64_t* seg_off, int64_t n_segs, int64_t* perm) {
+    for (int64_t s = 0; s < n_segs; ++s) {
+        const int64_t a = seg_off[s], b = seg_off[s + 1];
+        std::iota(perm + a, perm + b, a);
+        std::sort(perm + a, perm + b, [&](int64_t x, int64_t y) {
+            return hi[x] < hi[y] || (hi[x] == hi[y] && lo[x] < lo[y]);
+        });
+    }
+}
 
 // --- canonical k-mer lane extraction -----------------------------------
 //
