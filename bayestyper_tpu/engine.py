@@ -273,17 +273,24 @@ def run_cluster_phase(
             [c.member.any(axis=(1, 2)) for c in compiled]
         )
 
-        order = np.lexsort((cat_lo, cat_hi))
-        sh, sl = cat_hi[order], cat_lo[order]
-        first = np.ones(len(sh), bool)
-        if len(sh):
-            first[1:] = (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])
-        # union row index per concatenated entry, in original order
-        urow_sorted = np.cumsum(first) - 1
-        midx_all = np.empty(len(sh), np.int64)
-        midx_all[order] = urow_sorted
-        u_hi, u_lo = sh[first], sl[first]
-        occ = np.bincount(urow_sorted, minlength=len(u_hi))
+        from . import native
+
+        if native.available() and len(cat_hi):
+            # native MSB-bucketed pair sort (~8x numpy's 2-key lexsort)
+            midx_all, rep = native.pair_unique(cat_hi, cat_lo)
+            u_hi, u_lo = cat_hi[rep], cat_lo[rep]
+        else:
+            order = np.lexsort((cat_lo, cat_hi))
+            sh, sl = cat_hi[order], cat_lo[order]
+            first = np.ones(len(sh), bool)
+            if len(sh):
+                first[1:] = (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])
+            # union row index per concatenated entry, in original order
+            urow_sorted = np.cumsum(first) - 1
+            midx_all = np.empty(len(sh), np.int64)
+            midx_all[order] = urow_sorted
+            u_hi, u_lo = sh[first], sl[first]
+        occ = np.bincount(midx_all, minlength=len(u_hi))
         multi_mask = occ > 1
         multigroup = LaneTable.from_unsorted_unique(
             u_hi[multi_mask], u_lo[multi_mask]
@@ -492,7 +499,7 @@ class GenotypeOptions:
     noise_rate_prior: tuple = (NOISE_RATE_PRIOR_SHAPE, NOISE_RATE_PRIOR_SCALE)
     noise_genotyping: bool = False
     random_seed: int = 1
-    max_bucket_clusters: int = 512
+    max_bucket_clusters: int = 4096
     num_host_threads: int = 1
     # None = use every visible device (cluster-data-parallel over the mesh);
     # results are bit-identical for any device count (counter-based per-
@@ -602,6 +609,22 @@ def parameter_kmer_stats(unit, samples, table, counts):
     return out
 
 
+def _bucket_limit(opts, k, h, s, max_tot, num_chains,
+                  budget_bytes=2 << 30) -> int:
+    """Per-class cluster cap: big buckets amortise the per-iteration scan
+    overhead on device (512-cluster buckets leave the TPU latency-bound),
+    but the LL precompute working set scales with K*O and S*M*K — bound it
+    by an HBM budget so giant classes don't OOM."""
+    o = h * (h + 1) // 2 + h + 1
+    per_cluster = 4 * (
+        s * (max_tot + 1) * k       # q table gather
+        + k * o                     # dip_mult
+        + num_chains * s * (k + o)  # subsample masks + LL
+    )
+    return max(64, min(opts.max_bucket_clusters,
+                       budget_bytes // max(per_cluster, 1)))
+
+
 def _pad_clusters(n: int, mesh) -> int:
     """Cluster-axis padding: next power of two, rounded up to a multiple of
     the mesh size so the bucket shards evenly. Padding clusters are
@@ -639,13 +662,40 @@ def _size_class(fc: FinalizedCluster):
     return (h, k, v, a)
 
 
-def _cluster_to_dict(fc: FinalizedCluster, samples, ploidy_model, counts,
-                     table, rng):
+class _UnitCounts:
+    """Per-cluster observed-count rows, resolved with ONE global lookup
+    (one lane lookup per cluster previously dominated the genotype phase's
+    host side)."""
+
+    def __init__(self, unit, table, counts):
+        compiled = unit.compiled
+        lens = np.fromiter(
+            (len(fc.kmer_hi) for fc in compiled), np.int64, len(compiled)
+        )
+        self.offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=self.offs[1:])
+        if compiled:
+            cat_hi = np.concatenate([fc.kmer_hi for fc in compiled])
+            cat_lo = np.concatenate([fc.kmer_lo for fc in compiled])
+            idx = table.lookup(cat_hi, cat_lo)
+            self.rows = np.where(
+                idx[:, None] >= 0, counts[np.maximum(idx, 0)], 0
+            ).astype(np.uint8)
+        else:
+            self.rows = np.zeros((0, counts.shape[1]), np.uint8)
+        self._index = {fc.cluster_id: i for i, fc in enumerate(compiled)}
+
+    def rows_for(self, fc):
+        i = self._index[fc.cluster_id]
+        return self.rows[self.offs[i] : self.offs[i + 1]]
+
+
+def _cluster_to_dict(fc: FinalizedCluster, samples, ploidy_model, ucounts,
+                     rng):
     """FinalizedCluster + counts -> the dict build_bucket consumes."""
     from .model.buckets import greedy_minimum_cover
 
-    idx = table.lookup(fc.kmer_hi, fc.kmer_lo)
-    c = np.where(idx[:, None] >= 0, counts[np.maximum(idx, 0)], 0).astype(np.uint8)
+    c = ucounts.rows_for(fc)
 
     s = len(samples)
     inter = np.zeros((len(fc.kmer_hi), s), dtype=np.uint8)
@@ -680,7 +730,7 @@ def _cluster_to_dict(fc: FinalizedCluster, samples, ploidy_model, counts,
 
 
 def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
-                   opts: GenotypeOptions):
+                   opts: GenotypeOptions, ucounts=None):
     """Noise rate estimation over single-cluster groups of EVERY size class
     (estimateNoise, InferenceEngine.cpp:135-276; group selection :141-151
     has no size restriction). Clusters are bucketed per size class and all
@@ -697,6 +747,8 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     rng = np.random.default_rng(opts.random_seed)
     if not unit.compiled:
         raise ValueError("no clusters to estimate noise from")
+    if ucounts is None:
+        ucounts = _UnitCounts(unit, table, counts)
     # every cluster whose group has exactly one cluster qualifies; nested
     # groups (parent or child) are excluded like the reference's
     # numberOfVariantClusters() == 1 check
@@ -724,31 +776,35 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     mesh = _get_mesh(opts)
 
     buckets, outcomes_list, cfgs = [], [], []
-    for (h, k, v, a), fcs in sorted(by_class.items()):
-        c_pad = _pad_clusters(len(fcs), mesh)
-        dicts = [
-            _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
-            for fc in fcs
-        ]
-        bucket = build_bucket(
-            dicts, (c_pad, k, h, v), len(samples)
-        ).device_arrays()
-        if mesh is not None:
-            bucket, tables = _shard_for_mesh(bucket, tables, mesh)
-        buckets.append(bucket)
-        outcomes_list.append(make_outcome_space(h))
-        max_tot = int(
-            min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in fcs)
+    for (h, k, v, a), cls_fcs in sorted(by_class.items()):
+        max_tot_cls = _step_at_least(int(
+            min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in cls_fcs)
                 + max(1, max(int(fc.inter_mult_female.max(initial=0))
-                             for fc in fcs)))
-        )
-        cfgs.append(GibbsConfig(
-            num_chains=1, burn_in=opts.burn_in, num_samples=opts.num_samples,
-            kmer_subsampling_rate=opts.kmer_subsampling_rate,
-            max_total_mult=_step_at_least(max_tot, 8, 4),
-            max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
-            apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
-        ))
+                             for fc in cls_fcs)))
+        ), 8, 4)
+        c_limit = _bucket_limit(opts, k, h, len(samples), max_tot_cls, 1)
+        for start in range(0, len(cls_fcs), c_limit):
+            fcs = cls_fcs[start : start + c_limit]
+            c_pad = _pad_clusters(len(fcs), mesh)
+            dicts = [
+                _cluster_to_dict(fc, samples, ploidy_model, ucounts, rng)
+                for fc in fcs
+            ]
+            bucket = build_bucket(
+                dicts, (c_pad, k, h, v), len(samples)
+            ).device_arrays()
+            if mesh is not None:
+                bucket, tables = _shard_for_mesh(bucket, tables, mesh)
+            buckets.append(bucket)
+            outcomes_list.append(make_outcome_space(h))
+            cfgs.append(GibbsConfig(
+                num_chains=1, burn_in=opts.burn_in,
+                num_samples=opts.num_samples,
+                kmer_subsampling_rate=opts.kmer_subsampling_rate,
+                max_total_mult=max_tot_cls,
+                max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
+                apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
+            ))
     _log(f"Estimating noise from {num_vars} variants in {len(buckets)} "
          f"size classes")
 
@@ -859,9 +915,11 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
          f"(modal multiplicity {nb_params.modal_multiplicity})")
     prefix = _output_prefix(out_path)
     write_genomic_parameters(prefix, samples, nb_params)
+    ucounts = _UnitCounts(unit, table, counts)
 
     noise_rates, noise_traces = estimate_noise(
-        unit, samples, table, counts, ploidy_model, nb_params, opts
+        unit, samples, table, counts, ploidy_model, nb_params, opts,
+        ucounts=ucounts,
     )
     write_noise_parameters(prefix, samples, noise_traces, noise_rates)
 
@@ -915,15 +973,17 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
             apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
         )
+        c_limit = _bucket_limit(opts, k, h, len(samples), max_tot,
+                                opts.num_chains)
         # one-deep software pipeline: the device runs bucket N while the
         # host builds bucket N+1 and renders bucket N-1 (dispatch is async;
         # only the device_get in _emit_records synchronises)
         pending = None
-        for start in range(0, len(fcs), opts.max_bucket_clusters):
-            chunk = fcs[start : start + opts.max_bucket_clusters]
+        for start in range(0, len(fcs), c_limit):
+            chunk = fcs[start : start + c_limit]
             c_pad = _pad_clusters(len(chunk), mesh)
             dicts = [
-                _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
+                _cluster_to_dict(fc, samples, ploidy_model, ucounts, rng)
                 for fc in chunk
             ]
             bucket = build_bucket(
@@ -949,7 +1009,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
 
     if nested:
         num_genotyped += _genotype_nested_set(
-            nested, samples, ploidy_model, counts, table, tables_local,
+            nested, samples, ploidy_model, ucounts, tables_local,
             filters, writer, opts, rng, key,
         )
         _log(f"Genotyped {num_genotyped} variants")
@@ -964,7 +1024,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     }
 
 
-def _genotype_nested_set(nested, samples, ploidy_model, counts, table,
+def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
                          tables, filters, writer, opts, rng, key):
     """Genotype nested cluster-group families: clusters laid out by
     containment depth, children sampled conditionally on their parent's
@@ -996,7 +1056,7 @@ def _genotype_nested_set(nested, samples, ploidy_model, counts, table,
         )
         c_pad = _pow2_at_least(len(fcs), 1)
         dicts = [
-            _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
+            _cluster_to_dict(fc, samples, ploidy_model, ucounts, rng)
             for fc in fcs
         ]
         buckets.append(
@@ -1068,9 +1128,7 @@ def _genotype_nested_set(nested, samples, ploidy_model, counts, table,
             allele_capacity=caps_a[l], mac_top_t=8,
             missing_stats=missing_stats,
         )
-        import jax
-
-        stats = jax.device_get(stats)
+        stats = _fetch_stats(stats)
         _emit_records(writer, fcs, stats, samples, ploidy_model)
         num += sum(len(fc.variants) for fc in fcs)
         prev_stats, prev_fcs = stats, fcs
@@ -1122,12 +1180,37 @@ def _nested_missing_stats(fcs, parent_fcs, parent_stats, by_id, c_pad,
     return (jnp.asarray(nak_m), jnp.asarray(fak_m), jnp.asarray(mac_m))
 
 
-def _emit_records(writer, chunk, stats, samples, ploidy_model):
-    import jax
+def _fetch_stats(stats):
+    """One device->host transfer for all stats leaves.
 
-    # single batched device->host transfer (the tunnel charges ~27ms fixed
-    # latency per round trip; one device_get amortises all leaves)
-    stats = jax.device_get(stats)
+    jax.device_get fetches each pytree leaf with its own round trip; the
+    axon tunnel charges ~30-60 ms fixed latency per transfer, so the 8
+    BucketStats leaves cost ~0.5 s per bucket. Pack all leaves into one
+    float32 vector on device (every field is a small int or float32 — exact
+    in f32), transfer once, split on host."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(stats)
+    if not all(hasattr(l, "shape") for l in leaves):
+        return stats  # already host-side
+    flat = jnp.concatenate(
+        [jnp.ravel(l).astype(jnp.float32) for l in leaves]
+    )
+    host = np.asarray(flat)
+    out = []
+    off = 0
+    for l in leaves:
+        n = int(np.prod(l.shape)) if l.shape else 1
+        out.append(
+            host[off : off + n].reshape(l.shape).astype(l.dtype)
+        )
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _emit_records(writer, chunk, stats, samples, ploidy_model):
+    stats = _fetch_stats(stats)
     gpp, app, gq, gt = stats.gpp, stats.app, stats.gq, stats.gt
     saf, nak, fak, mac = stats.saf, stats.nak, stats.fak, stats.mac
 
@@ -1191,6 +1274,7 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
         pstats = parameter_kmer_stats(unit, samples, table, counts)
         nb_params = fit_genomic_nb(pstats)
         _log(f"NB fit: mean={nb_params.mean} var={nb_params.var}")
+    ucounts = _UnitCounts(unit, table, counts)
 
     # nested groups need conditional parent->child sampling; they are
     # genotyped after the joint phase with the joint-estimated noise frozen
@@ -1219,7 +1303,7 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     for (h, k, v, a), cls_fcs in sorted(by_class.items()):
         c_pad = _pad_clusters(len(cls_fcs), mesh)
         dicts = [
-            _cluster_to_dict(fc, samples, ploidy_model, counts, table, rng)
+            _cluster_to_dict(fc, samples, ploidy_model, ucounts, rng)
             for fc in cls_fcs
         ]
         bucket = build_bucket(
@@ -1297,7 +1381,7 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
             )
         )
         _genotype_nested_set(
-            nested, samples, ploidy_model, counts, table, frozen_tables,
+            nested, samples, ploidy_model, ucounts, frozen_tables,
             filters, writer, opts, rng, key,
         )
     n = writer.finalise()

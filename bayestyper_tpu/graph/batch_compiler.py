@@ -62,6 +62,58 @@ def _fast_paths(cluster, chrom_seq: bytes, kmer_size: int):
     return paths
 
 
+def _fast_product_paths(variants, chrom_seq: bytes, kmer_size: int,
+                        beam_limit: int):
+    """Direct allele-product path enumeration for clusters of strictly
+    non-overlapping variants with no containment and no `*` dependencies.
+
+    Produces exactly what enumerate_paths produces for this shape (combos in
+    lexicographic order, last variant fastest; reference alleles consume
+    nothing so downstream gap fill provides their bases) without the beam
+    machinery. Returns None when the shape doesn't qualify.
+    """
+    total = 1
+    prev_pos = -1
+    prev_end = -1
+    for v in variants:
+        if v.has_dependency or v.pos <= prev_pos or v.pos < prev_end:
+            return None
+        total *= 1 + len(v.alts)
+        if total > beam_limit:
+            return None
+        prev_pos, prev_end = v.pos, v.end
+    flank = kmer_size - 1
+    left = max(variants[0].pos - flank, 0)
+    right = min(max(v.end for v in variants) + flank, len(chrom_seq))
+
+    import itertools
+
+    paths = []
+    for combo in itertools.product(
+        *[range(1 + len(v.alts)) for v in variants]
+    ):
+        parts = []
+        spans = []
+        cursor = left
+        pos_len = 0
+        for v, a in zip(variants, combo):
+            gap = chrom_seq[cursor : v.pos]
+            parts.append(gap)
+            pos_len += len(gap)
+            if a == 0:
+                spans.append((pos_len, pos_len + len(v.ref)))
+                cursor = v.pos
+            else:
+                alt = v.alts[a - 1]
+                parts.append(alt.encode())
+                spans.append((pos_len, pos_len + len(alt)))
+                pos_len += len(alt)
+                cursor = v.end
+        parts.append(chrom_seq[cursor:right])
+        paths.append((list(combo), b"".join(parts), spans))
+    return paths
+
+
 def compile_clusters_batch(
     clusters,
     genome,
@@ -99,9 +151,22 @@ def compile_clusters_batch(
                  [r[2] for r in rows], [frozenset()] * len(rows), True)
             )
         else:
-            variants = mark_dependencies(
-                sorted(cl.variants, key=lambda v: (v.pos, -len(v.ref)))
-            )
+            variants = sorted(cl.variants, key=lambda v: (v.pos, -len(v.ref)))
+            rows = None
+            if not spans:
+                n_samples = len(sample_blooms) if sample_blooms else 1
+                beam_limit = max_sample_haplotypes * max(n_samples, 1) * 4
+                rows = _fast_product_paths(
+                    variants, genome[cl.chrom], kmer_size, beam_limit
+                )
+            if rows is not None:
+                cl.variants = variants
+                pathsets.append(
+                    (ci, [r[0] for r in rows], [r[1] for r in rows],
+                     [r[2] for r in rows], [frozenset()] * len(rows), False)
+                )
+                continue
+            variants = mark_dependencies(variants)
             cl.variants = variants
             paths = enumerate_paths(
                 cl, genome[cl.chrom], kmer_size, sample_blooms,

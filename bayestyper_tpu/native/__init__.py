@@ -68,6 +68,8 @@ def get_lib():
     u64 = ctypes.c_uint64
 
     lib.bt_segment_sort.argtypes = [u64p, u64p, i64p, i64, i64p]
+    lib.bt_pair_unique.argtypes = [u64p, u64p, i64, i64p, i64p, i64p]
+    lib.bt_pair_unique.restype = i64
     lib.bt_kmer_lanes.argtypes = [u8p, u8p, i64, i32, u64p, u64p, u8p]
     lib.bt_lane_lookup.argtypes = [u64p, u64p, i64, u64p, u64p, i64, i64p]
     lib.bt_kmc_decode.argtypes = [u8p, i64, i32, i32, i32, u64p, i32, i32,
@@ -80,6 +82,25 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def pair_unique(hi, lo):
+    """Global (hi, lo) unique ranking: returns (midx, rep) where midx[i] is
+    the sorted-unique rank of entry i and rep[u] is a representative input
+    index for unique value u (ranks follow (hi, lo) sorted order)."""
+    lib = get_lib()
+    n = len(hi)
+    midx = np.empty(n, dtype=np.int64)
+    rep = np.empty(n, dtype=np.int64)
+    bits = 1
+    while (1 << bits) < n // 8 and bits < 24:
+        bits += 1
+    scratch = np.empty((1 << bits) + 1 + 3 * n, dtype=np.int64)
+    nu = lib.bt_pair_unique(
+        np.ascontiguousarray(hi, np.uint64),
+        np.ascontiguousarray(lo, np.uint64), n, midx, rep, scratch,
+    )
+    return midx, rep[:nu]
 
 
 def segment_sort(hi, lo, seg_off):
