@@ -240,6 +240,21 @@ class VcfWriter:
         self.close()
 
 
+def merge_contigs(contigs_a, contigs_b):
+    """Merge two contig lists preserving order (Auxiliaries::mergeContigs):
+    contigs of `a` first, then contigs only in `b`; lengths must agree when
+    both sides carry one."""
+    merged = list(contigs_a)
+    seen = {name: length for name, length in contigs_a}
+    for name, length in contigs_b:
+        if name in seen:
+            if length is not None and seen[name] is not None:
+                assert length == seen[name], (name, length, seen[name])
+        else:
+            merged.append((name, length))
+    return merged
+
+
 def read_all(path: str, parse_samples=False):
     r = VcfReader(path, parse_samples)
     variants = list(r)

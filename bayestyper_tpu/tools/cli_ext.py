@@ -135,14 +135,16 @@ def register_scripts(sub):
         "convert_nested_genotypes", a.vcf_file, a.output_prefix + ".vcf"))
 
     p = sub.add_parser("addEditDistanceAndCondordance",
-                       help="annotate calls with edit distance/concordance vs a truth VCF")
-    p.add_argument("-v", "--vcf-file", required=True)
+                       help="per-sample GTCO concordance between a truth VCF "
+                            "and a callset (annotates both)")
     p.add_argument("-t", "--truth-file", required=True)
+    p.add_argument("-v", "--vcf-file", required=True, help="callset VCF")
     p.add_argument("-o", "--output-prefix", required=True)
-    p.add_argument("--window", type=int, default=50)
+    p.add_argument("--read-length", type=int, default=100)
     p.set_defaults(func=lambda a: _run(
-        "add_edit_distance_and_concordance", a.vcf_file, a.truth_file,
-        a.output_prefix + ".vcf", a.window))
+        "add_edit_distance_and_concordance", a.truth_file, a.vcf_file,
+        a.output_prefix + "_truth.vcf", a.output_prefix + "_callset.vcf",
+        a.read_length))
 
     p = sub.add_parser("assessHaplotypeTransmissionSupport",
                        help="trio transmission support summary")

@@ -353,59 +353,165 @@ def convert_nested_genotypes(vcf_path: str, out_path: str):
     return n
 
 
-def add_edit_distance_and_concordance(vcf_path: str, truth_path: str,
-                                      out_path: str, window: int = 50):
-    """Evaluation: annotate each call with the edit distance to the nearest
-    truth allele (WED) and genotype concordance when positions match (GTCO)
-    — the core of addEditDistanceAndCondordance.cpp."""
-    from ..ops.edit_distance import edit_distance
-    from collections import defaultdict as _dd
-    import bisect
+def _gt_estimate(sample):
+    """Called allele indices, [] when the genotype is (partially) missing
+    (vcf++ Sample::genotypeEstimate semantics for uncalled samples)."""
+    gt = sample.get("GT", ".")
+    if gt in (".", ""):
+        return []
+    parts = gt.replace("|", "/").split("/")
+    if any(p == "." for p in parts):
+        return []
+    return [int(p) for p in parts]
 
-    truth = _dd(list)
-    truth_reader = VcfReader(truth_path, parse_samples=True)
-    for v in truth_reader:
-        truth[v.chrom].append((v.pos, v.ref, v.alts,
-                               [s.get("GT", ".") for s in v.samples]))
-    for chrom in truth:
-        truth[chrom].sort()
-    keys = {chrom: [t[0] for t in truth[chrom]] for chrom in truth}
 
-    reader = VcfReader(vcf_path, parse_samples=True)
-    meta = reader.meta
-    meta.add_info("WED", "A", "Integer",
-                  "Minimum edit distance to a nearby truth allele")
-    meta.add_info("GTCO", "1", "String",
-                  "Genotype concordance with position-matched truth (T/F/.)")
-    writer = VcfWriter(out_path, meta)
+def _allele_pair(v, idx):
+    """Right-trimmed (ref, allele) sequence pair for allele index idx
+    (getAllelePair + rightTrimAllelePair, Auxiliaries.cpp:88-118: trim the
+    shared suffix while both sequences keep >= 1 base; missing alleles are
+    never trimmed)."""
+    ref = v.ref
+    allele = v.ref if idx == 0 else v.alts[idx - 1]
+    if allele in ("*", "."):
+        return (ref, "*")
+    r, a = ref, allele
     n = 0
-    for v in reader:
-        tl = truth.get(v.chrom, [])
-        ks = keys.get(v.chrom, [])
-        lo = bisect.bisect_left(ks, v.pos - window)
-        hi = bisect.bisect_right(ks, v.pos + window)
-        weds = []
-        gtco = "."
-        for alt in v.alts:
-            best = -1
-            for (tpos, tref, talts, tgts) in tl[lo:hi]:
-                for talt in talts:
-                    if talt.startswith("<"):
-                        continue
-                    d = edit_distance(alt, talt) + abs(tpos - v.pos)
-                    best = d if best < 0 else min(best, d)
-                if tpos == v.pos and tref == v.ref:
-                    call_gts = [s.get("GT", ".") for s in v.samples]
-                    norm = lambda g: tuple(sorted(g.replace("|", "/").split("/")))
-                    gtco = "T" if [norm(a) for a in call_gts] == \
-                        [norm(b) for b in tgts] else "F"
-            weds.append(best)
-        v.info["WED"] = ",".join(str(x) for x in weds) if weds else "."
-        v.info["GTCO"] = gtco
-        writer.write(v)
+    ml = min(len(r), len(a))
+    while n < ml - 1 and r[len(r) - 1 - n] == a[len(a) - 1 - n]:
         n += 1
-    writer.close()
-    return n
+    if n:
+        r, a = r[: len(r) - n], a[: len(a) - n]
+    return (r, a)
+
+
+def _pair_concordance(gt_v, gt_s, cs_v, cs_s):
+    """Position-matched concordance (addGenotypeConcordance,
+    addEditDistanceAndCondordance.cpp:216-297): compare right-trimmed allele
+    pairs of the two genotype estimates. T = same diplotype (either phase),
+    P = one of two alleles matches, F = mismatch or ploidy mismatch,
+    I = both uncalled."""
+    ge = _gt_estimate(gt_s)
+    ce = _gt_estimate(cs_s)
+    if len(ge) != len(ce):
+        return "F"
+    if len(ge) == 2:
+        g1, g2 = _allele_pair(gt_v, ge[0]), _allele_pair(gt_v, ge[1])
+        c1, c2 = _allele_pair(cs_v, ce[0]), _allele_pair(cs_v, ce[1])
+        if (g1 == c1 and g2 == c2) or (g1 == c2 and g2 == c1):
+            return "T"
+        if g1 == c1 or g2 == c2 or g1 == c2 or g2 == c1:
+            return "P"
+        return "F"
+    if len(ge) == 1:
+        return "T" if _allele_pair(gt_v, ge[0]) == _allele_pair(cs_v, ce[0]) \
+            else "F"
+    return "I"
+
+
+def _unmatched_concordance(sample):
+    """Concordance for a variant present in only one file
+    (addEditDistanceAndCondordance.cpp:300-336): a hom-ref call over the
+    absent record counts as concordant."""
+    e = _gt_estimate(sample)
+    if not e:
+        return "I"
+    if max(e) == 0:
+        return "T"
+    if min(e) == 0:
+        return "P"
+    return "F"
+
+
+def _upgrade_gtco(old, new):
+    """GTCO upgrade across multiple callset rows at one truth position
+    (addEditDistanceAndCondordance.cpp:276-293): T wins; P overwrites F/I;
+    anything overwrites I."""
+    if old is None or old == "I":
+        return new
+    if new == "T":
+        return "T"
+    if new == "P" and old in ("F", "I"):
+        return "P"
+    return old
+
+
+def add_edit_distance_and_concordance(truth_path: str, callset_path: str,
+                                      truth_out: str, callset_out: str,
+                                      read_length: int = 100):
+    """Per-sample genotype concordance between a truth VCF and a callset
+    (scripts/addEditDistanceAndCondordance.cpp): BOTH files are annotated
+    with a GTCO FORMAT field (T/P/F/I) per sample. Truth rows must have
+    unique positions; multiple callset rows may match one truth position
+    (GTCO upgrades T > P > F > I). Rows present in only one file score their
+    genotype against the implicit hom-ref. Like the reference, the edit
+    distance (MED) computation is disabled (main.cpp prints the same
+    warning), so `read_length` only shapes the header description.
+    """
+    from ..io.vcf import merge_contigs
+
+    t_reader = VcfReader(truth_path, parse_samples=True)
+    c_reader = VcfReader(callset_path, parse_samples=True)
+    assert t_reader.meta.samples == c_reader.meta.samples, \
+        "truth and callset must carry the same samples"
+    samples = t_reader.meta.samples
+    t_rows = defaultdict(list)
+    for v in t_reader:
+        t_rows[v.chrom].append(v)
+    c_rows = defaultdict(list)
+    for v in c_reader:
+        c_rows[v.chrom].append(v)
+
+    contigs = merge_contigs(t_reader.meta.contigs, c_reader.meta.contigs)
+    chroms = [name for name, _ in contigs] or sorted(
+        set(t_rows) | set(c_rows)
+    )
+
+    for meta in (t_reader.meta, c_reader.meta):
+        meta.contigs = contigs
+        meta.add_format("GTCO", "1", "String", "Genotype concordance")
+
+    n_t = n_c = 0
+    with VcfWriter(truth_out, t_reader.meta) as tw, \
+            VcfWriter(callset_out, c_reader.meta) as cw:
+        for chrom in chroms:
+            t_by_pos = {}
+            for v in t_rows.get(chrom, []):
+                assert v.pos not in t_by_pos, \
+                    f"duplicate truth position {chrom}:{v.pos}"
+                t_by_pos[v.pos] = v
+                v.gtco = [None] * len(samples)
+            for v in c_rows.get(chrom, []):
+                tv = t_by_pos.get(v.pos)
+                gtco = []
+                for si in range(len(samples)):
+                    if tv is not None:
+                        g = _pair_concordance(
+                            tv, tv.samples[si], v, v.samples[si]
+                        )
+                        tv.gtco[si] = _upgrade_gtco(tv.gtco[si], g)
+                    else:
+                        g = _unmatched_concordance(v.samples[si])
+                    gtco.append(g)
+                _set_gtco(v, gtco)
+                cw.write(v)
+                n_c += 1
+            for v in t_rows.get(chrom, []):
+                gtco = [
+                    g if g is not None
+                    else _unmatched_concordance(v.samples[si])
+                    for si, g in enumerate(v.gtco)
+                ]
+                _set_gtco(v, gtco)
+                tw.write(v)
+                n_t += 1
+    return n_t, n_c
+
+
+def _set_gtco(v, gtco):
+    if "GTCO" not in v.format_keys:
+        v.format_keys.append("GTCO")
+    for s, g in zip(v.samples, gtco):
+        s["GTCO"] = g
 
 
 def assess_haplotype_transmission_support(vcf_path: str, out_path: str,

@@ -198,14 +198,31 @@ def generate_header(genome, sample_names, command_lines=()) -> str:
 
 
 class GenotypeVcfWriter:
-    """Collect rows, sort per chromosome by position, write final VCF."""
+    """Stream rendered rows to a temp file, sort per chromosome by position
+    at finalise.
+
+    The reference streams rows to a gzip temp from a writer thread and
+    re-reads them at finalise (GenotypeWriter.cpp:84-127, 352-492). Here
+    rows stream to an uncompressed temp next to the output and only a
+    compact (chrom, pos, offset, length) index stays in memory — finalise
+    sorts the index (stable, so equal positions keep arrival order exactly
+    like the previous in-memory sort) and copies rows by offset; the page
+    cache makes the reads cheap."""
 
     def __init__(self, path: str, genome, sample_names, command_lines=()):
+        import os
+
         self.path = path
         self.genome = genome
         self.sample_names = sample_names
         self.command_lines = command_lines
-        self.rows = {}  # chrom -> [(pos, line)]
+        self._chrom_idx = {name: i for i, name in enumerate(genome.names)}
+        self._tmp_path = path + ".rows.tmp"
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        self._tmp = open(self._tmp_path, "w+b")
+        self._index = []  # (chrom_i, pos, offset, length)
         self.num_written = 0
 
     def add(self, record: VariantGenotypeRecord):
@@ -219,19 +236,30 @@ class GenotypeVcfWriter:
             record.ref = ref.decode() if isinstance(ref, bytes) else str(ref)
         except KeyError:
             pass
-        self.rows.setdefault(record.chrom, []).append(
-            (record.pos, render_row(record))
-        )
+        line = (render_row(record) + "\n").encode()
+        ci = self._chrom_idx.get(record.chrom, len(self._chrom_idx))
+        self._index.append((ci, record.pos, self._tmp.tell(), len(line)))
+        self._tmp.write(line)
         self.num_written += 1
 
     def finalise(self):
+        import os
+
+        self._tmp.flush()
         opener = gzip.open if self.path.endswith(".gz") else open
-        with opener(self.path, "wt") as fh:
+        with opener(self.path, "wb") as fh:
             fh.write(
-                generate_header(self.genome, self.sample_names, self.command_lines)
+                generate_header(
+                    self.genome, self.sample_names, self.command_lines
+                ).encode()
             )
-            for chrom in self.genome.names:
-                if chrom in self.rows:
-                    for _, line in sorted(self.rows[chrom], key=lambda x: x[0]):
-                        fh.write(line + "\n")
+            if self._index:
+                idx = np.asarray(self._index, dtype=np.int64)
+                order = np.lexsort((idx[:, 1], idx[:, 0]))
+                src = self._tmp
+                for i in order:
+                    src.seek(idx[i, 2])
+                    fh.write(src.read(idx[i, 3]))
+        self._tmp.close()
+        os.unlink(self._tmp_path)
         return self.num_written

@@ -30,8 +30,8 @@ K = 55
 NUM_SAMPLES = 3
 COVERAGE = 30.0
 SCALE = float(os.environ.get("HS_SCALE", "1.0"))
-NUM_VARIANT_SITES = int(1_050_000 * SCALE)
-GENOME_LEN = int(110_000_000 * SCALE) + 20_000
+NUM_VARIANT_SITES = int(1_150_000 * SCALE)
+GENOME_LEN = int(125_000_000 * SCALE) + 20_000
 
 
 def _peak_rss_gb():

@@ -140,7 +140,7 @@ def test_edit_distance_concordance(tmp_path):
 
     meta = VcfMeta()
     meta.contigs = [("chr1", 100000)]
-    meta.samples = ["s0"]
+    meta.samples = ["s0", "s1"]
 
     def _w(path, rows):
         with VcfWriter(str(path), meta) as w:
@@ -149,23 +149,44 @@ def test_edit_distance_concordance(tmp_path):
         return str(path)
 
     truth = _w(tmp_path / "t.vcf", [
-        VcfVariant("chr1", 100, [], "A", ["C"], None, [], {}, ["GT"],
-                   [{"GT": "0/1"}]),
+        # different representation, same trimmed alt pair (AC->C == A->"")
+        VcfVariant("chr1", 100, [], "ACT", ["CT"], None, [], {}, ["GT"],
+                   [{"GT": "0/1"}, {"GT": "1/1"}]),
+        VcfVariant("chr1", 300, [], "G", ["T"], None, [], {}, ["GT"],
+                   [{"GT": "0/1"}, {"GT": "./."}]),
+        VcfVariant("chr1", 900, [], "A", ["G"], None, [], {}, ["GT"],
+                   [{"GT": "1/1"}, {"GT": "0/1"}]),
     ])
     calls = _w(tmp_path / "c.vcf", [
-        VcfVariant("chr1", 100, [], "A", ["C"], None, [], {}, ["GT"],
-                   [{"GT": "1/0"}]),
+        VcfVariant("chr1", 100, [], "AC", ["C"], None, [], {}, ["GT"],
+                   [{"GT": "1/0"}, {"GT": "0/1"}]),
+        # second callset row at the same truth position: the truth GTCO
+        # keeps the best (T from the first row)
+        VcfVariant("chr1", 100, [], "AC", ["G"], None, [], {}, ["GT"],
+                   [{"GT": "0/0"}, {"GT": "0/0"}]),
         VcfVariant("chr1", 5000, [], "G", ["T"], None, [], {}, ["GT"],
-                   [{"GT": "1/1"}]),
+                   [{"GT": "1/1"}, {"GT": "0/0"}]),
     ])
-    out = str(tmp_path / "o.vcf")
-    add_edit_distance_and_concordance(calls, truth, out)
+    t_out = str(tmp_path / "ot.vcf")
+    c_out = str(tmp_path / "oc.vcf")
+    n_t, n_c = add_edit_distance_and_concordance(truth, calls, t_out, c_out)
+    assert (n_t, n_c) == (3, 3)
     from bayestyper_tpu.io.vcf import read_all
 
-    _, variants = read_all(out)
-    assert variants[0].info["WED"] == "0"
-    assert variants[0].info["GTCO"] == "T"  # 1/0 == 0/1 after sort
-    assert variants[1].info["GTCO"] == "."
+    _, tv = read_all(t_out, parse_samples=True)
+    _, cv = read_all(c_out, parse_samples=True)
+    # pos 100: trimmed pairs match either phase -> T; s1 1/1 vs 0/1 -> P
+    assert [s["GTCO"] for s in cv[0].samples] == ["T", "P"]
+    # second row at pos 100: 0/0 vs truth 0/1 -> P ; vs 1/1 -> F
+    assert [s["GTCO"] for s in cv[1].samples] == ["P", "F"]
+    # truth keeps the best across both rows
+    assert [s["GTCO"] for s in tv[0].samples] == ["T", "P"]
+    # truth pos 300 unmatched: het -> P; no-call -> I
+    assert [s["GTCO"] for s in tv[1].samples] == ["P", "I"]
+    # truth pos 900 unmatched: hom-alt -> F; het -> P
+    assert [s["GTCO"] for s in tv[2].samples] == ["F", "P"]
+    # callset pos 5000 unmatched: hom-alt -> F; hom-ref -> T
+    assert [s["GTCO"] for s in cv[2].samples] == ["F", "T"]
 
 
 def test_transmission_support(tmp_path):
