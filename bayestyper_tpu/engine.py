@@ -61,6 +61,39 @@ def _log(msg):
     print(f"[{time.strftime('%d/%m/%Y %H:%M:%S')}] {msg}", flush=True)
 
 
+def _log_rss(phase: str):
+    """Peak-RSS line after each major phase (the reference logs max resident
+    set size the same way, Utils.hpp:126-135 getMaxMemoryUsage)."""
+    import resource
+
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    _log(f"[{phase}] peak RSS {rss:.2f} GB")
+
+
+class _Profiler:
+    """Optional JAX profiler trace around the genotype phase: set
+    BT_PROFILE_DIR=<dir> to capture a TensorBoard-readable trace (SURVEY §5
+    TPU observability plan)."""
+
+    def __enter__(self):
+        import os
+
+        self.dir = os.environ.get("BT_PROFILE_DIR")
+        if self.dir:
+            import jax
+
+            jax.profiler.start_trace(self.dir)
+            _log(f"JAX profiler trace -> {self.dir}")
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            _log(f"JAX profiler trace written to {self.dir}")
+
+
 # ---------------------------------------------------------------------------
 # sorted lane-pair tables (host analogue of the reference's HybridHash:
 # sorted leaves + binary search, HybridHash.hpp/LinearMap.tpp)
@@ -908,6 +941,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     rng = np.random.default_rng(opts.random_seed)
 
     table, counts = gather_sample_counts(unit, samples, opts.num_host_threads)
+    _log_rss("sample counts")
 
     pstats = parameter_kmer_stats(unit, samples, table, counts)
     nb_params = fit_genomic_nb(pstats)
@@ -917,10 +951,12 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     write_genomic_parameters(prefix, samples, nb_params)
     ucounts = _UnitCounts(unit, table, counts)
 
-    noise_rates, noise_traces = estimate_noise(
-        unit, samples, table, counts, ploidy_model, nb_params, opts,
-        ucounts=ucounts,
-    )
+    with _Profiler():
+        noise_rates, noise_traces = estimate_noise(
+            unit, samples, table, counts, ploidy_model, nb_params, opts,
+            ucounts=ucounts,
+        )
+    _log_rss("noise estimation")
     write_noise_parameters(prefix, samples, noise_traces, noise_rates)
 
     tables = jnp.asarray(
@@ -951,6 +987,19 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     by_class = defaultdict(list)
     for fc in singles:
         by_class[_size_class(fc)].append(fc)
+
+    # bucket-occupancy census: real vs padded cells per size class (SURVEY
+    # §5 observability plan — shows where padding burns device FLOPs)
+    census = []
+    for (h, k, v, a), fcs in sorted(by_class.items()):
+        real = sum(len(fc.kmer_hi) * fc.hap_allele.shape[0] for fc in fcs)
+        padded = len(fcs) * k * h
+        census.append(
+            f"H{h}/K{k}/V{v}: {len(fcs)} clusters, "
+            f"fill {real / max(padded, 1):.0%}"
+        )
+    _log("Size classes: " + "; ".join(census))
+    _log_rss("bucketing")
 
     key = jax.random.PRNGKey(opts.random_seed)
     num_genotyped = 0
@@ -1015,6 +1064,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
         _log(f"Genotyped {num_genotyped} variants")
 
     n = writer.finalise()
+    _log_rss("genotyping")
     _log(f"Wrote {n} variants to {out_path}")
     return {
         "num_variants": n,

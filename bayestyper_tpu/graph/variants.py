@@ -20,6 +20,7 @@ class AlleleType(enum.Enum):
     SNV = "SNV"
     INSERTION = "Insertion"
     DELETION = "Deletion"
+    INVERSION = "Inversion"
     COMPLEX = "Complex"
     MISSING = "Missing"
 
@@ -103,9 +104,28 @@ class NormalizedVariant:
         return self.has_dependency and allele_idx == self.num_alleles - 1
 
 
+_RC = str.maketrans("ACGTN", "TGCAN")
+
+
+def is_inversion(alt: str, ref: str, min_match_fraction: float = 0.95,
+                 min_size: int = 10) -> bool:
+    """Equal-length alleles where the alt is (approximately) the reverse
+    complement of the reference (Auxiliaries::isInversion,
+    Auxiliaries.cpp:206-257): >= min_match_fraction matching non-N bases."""
+    if len(alt) != len(ref) or len(alt) < min_size:
+        return False
+    rc = alt.translate(_RC)[::-1]
+    correct = sum(
+        1 for a, b in zip(rc, ref) if a == b and a != "N"
+    )
+    return correct / len(rc) >= min_match_fraction
+
+
 def classify_allele(ref: str, alt: str) -> AlleleType:
-    """SNV/Ins/Del/Complex typing after full trim
-    (VariantFileParser.cpp:624-647 classifies on trimmed alleles)."""
+    """SNV/Ins/Del/Inversion/Complex typing after full trim
+    (VariantFileParser.cpp:624-647 + Auxiliaries::alleleAttributes,
+    Auxiliaries.cpp:142-203 — equal-length non-SNV alleles check the
+    inversion test before falling back to Complex)."""
     r, a = _full_trim(ref, alt)
     if len(r) == 0 and len(a) == 0:
         return AlleleType.REFERENCE
@@ -115,6 +135,8 @@ def classify_allele(ref: str, alt: str) -> AlleleType:
         return AlleleType.INSERTION
     if len(a) == 0:
         return AlleleType.DELETION
+    if len(r) == len(a) and is_inversion(a, r):
+        return AlleleType.INVERSION
     return AlleleType.COMPLEX
 
 

@@ -34,14 +34,15 @@ def homopolymer_info(pos0: int, seq: bytes):
 
 
 def _parse_gt(s):
-    gt = s.get("GT", ".")
-    if gt in (".", "", "./."):
+    """Complete genotype estimate or None (vcf++ Sample call-status
+    semantics via io.attributes.SampleCall: partial calls count as
+    uncalled, CallStatus::Complete required)."""
+    from ..io.attributes import CallStatus, SampleCall
+
+    call = SampleCall.from_gt(s.get("GT", "."))
+    if call.call_status != CallStatus.COMPLETE:
         return None
-    sep = "/" if "/" in gt else ("|" if "|" in gt else None)
-    parts = gt.split(sep) if sep else [gt]
-    if any(p == "." for p in parts):
-        return None
-    return [int(p) for p in parts]
+    return call.genotype_estimate
 
 
 def inbreeding_stats(variant, sample_regex=".*"):
