@@ -210,9 +210,9 @@ def get_kmer_stats(vcf_path: str, kmc_prefix: str, out_path: str,
     from ..engine import LaneTable
 
     reader_kmc = KmcReader(kmc_prefix)
-    k = kmer_size or reader_kmc.kmer_size if hasattr(reader_kmc, "kmer_size") \
-        else reader_kmc.info.kmer_length
-    k = reader_kmc.info.kmer_length
+    k = reader_kmc.info.kmer_length  # the table defines k
+    assert kmer_size in (None, k), \
+        f"kmer size {kmer_size} does not match the KMC table's k={k}"
     all_hi, all_lo, all_counts = [], [], []
     for hi, lo, cnt in reader_kmc.batches():
         all_hi.append(hi)
