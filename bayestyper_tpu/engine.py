@@ -582,20 +582,59 @@ def gather_sample_counts(unit: InferenceUnitData, samples, num_threads: int = 1)
     """Stream each sample's KMC table and collect counts for member +
     parameter k-mers (parseSampleKmers, KmerCounter.cpp:388-524; the `-p`
     thread pipeline becomes a thread pool over samples — each worker fills a
-    disjoint counts column)."""
+    disjoint counts column).
+
+    Set BT_DEVICE_LOOKUP=1 to run the per-batch membership lookups on the
+    device mesh instead of the host (parallel/sharded_table.py: table
+    hash-sharded across chips, vectorised binary search per shard, psum
+    combine) — the scale-out path when the table outgrows host caches and
+    chips are locally attached (over the axon tunnel the transfer latency
+    usually cancels the win)."""
+    import os
+
     table = LaneTable.from_unsorted_unique(
         np.concatenate([c.kmer_hi for c in unit.compiled] + [unit.param_hi]),
         np.concatenate([c.kmer_lo for c in unit.compiled] + [unit.param_lo]),
     )
     counts = np.zeros((len(table), len(samples)), dtype=np.uint8)
 
+    dev_table = None
+    if os.environ.get("BT_DEVICE_LOOKUP") == "1" and len(table):
+        import jax
+
+        from .parallel.mesh import make_mesh
+        from .parallel.sharded_table import ShardedLaneTable
+
+        mesh = make_mesh(len(jax.devices()))
+        row_idx = np.arange(len(table), dtype=np.int64)
+        dev_table = ShardedLaneTable.build(
+            mesh, table.hi, table.lo,
+            # payload = row index split into two uint8-padded... store the
+            # row index as the payload so hits map back to `counts` rows
+            row_idx[:, None].astype(np.uint32).view(np.uint8).reshape(
+                len(table), 4
+            ),
+        )
+        _log(f"Device lookup enabled: table sharded over {mesh.size} chips")
+
     def _one(si_sample):
         si, sample = si_sample
         reader = KmcReader(sample.kmc_prefix)
         n_hit = 0
         for hi, lo, cnt in reader.batches():
-            idx = table.lookup(hi, lo)
-            hit = idx >= 0
+            if dev_table is not None:
+                payload = dev_table.lookup_counts(hi, lo)
+                idx = payload.view(np.uint32).reshape(len(hi)).astype(np.int64)
+                hit = idx > 0
+                # row 0's payload is 0, indistinguishable from a miss; check
+                # it on the host (one lookup of the few idx==0 entries)
+                maybe_zero = np.flatnonzero(idx == 0)
+                if len(maybe_zero):
+                    hz = table.lookup(hi[maybe_zero], lo[maybe_zero]) == 0
+                    hit[maybe_zero[hz]] = True
+            else:
+                idx = table.lookup(hi, lo)
+                hit = idx >= 0
             counts[idx[hit], si] = np.minimum(cnt[hit], 255).astype(np.uint8)
             n_hit += int(hit.sum())
         reader.close()
