@@ -1042,6 +1042,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
 
     key = jax.random.PRNGKey(opts.random_seed)
     num_genotyped = 0
+    emitter = _AsyncEmitter(writer, samples, ploidy_model)
     for (h, k, v, a), fcs in sorted(by_class.items()):
         outcomes = make_outcome_space(h)
         max_tot = _step_at_least(
@@ -1085,16 +1086,16 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
                 allele_capacity=a, mac_top_t=8,
             )
             if pending is not None:
-                _emit_records(writer, pending[0], pending[1], samples,
-                              ploidy_model)
+                emitter.emit(pending[0], pending[1])
                 num_genotyped += sum(len(fc.variants) for fc in pending[0])
                 _log(f"Genotyped {num_genotyped} variants")
             pending = (chunk, stats)
         if pending is not None:
-            _emit_records(writer, pending[0], pending[1], samples, ploidy_model)
+            emitter.emit(pending[0], pending[1])
             num_genotyped += sum(len(fc.variants) for fc in pending[0])
             _log(f"Genotyped {num_genotyped} variants")
 
+    emitter.close()
     if nested:
         num_genotyped += _genotype_nested_set(
             nested, samples, ploidy_model, ucounts, tables_local,
@@ -1298,8 +1299,41 @@ def _fetch_stats(stats):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+class _AsyncEmitter:
+    """Render+write rows on a dedicated worker thread (the reference's
+    writer thread, GenotypeWriter.cpp:80-82): the device->host fetch stays
+    on the dispatch thread, the Python-heavy row rendering overlaps the
+    next bucket's device time. Emit order doesn't matter — finalise sorts
+    rows by (chrom, pos)."""
+
+    def __init__(self, writer, samples, ploidy_model):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.writer = writer
+        self.samples = samples
+        self.ploidy_model = ploidy_model
+        self.pool = ThreadPoolExecutor(1)
+        self.futures = []
+
+    def emit(self, chunk, stats):
+        stats = _fetch_stats(stats)
+        self.futures.append(self.pool.submit(
+            _emit_records_host, self.writer, chunk, stats, self.samples,
+            self.ploidy_model,
+        ))
+
+    def close(self):
+        for f in self.futures:
+            f.result()  # re-raise worker exceptions
+        self.pool.shutdown()
+
+
 def _emit_records(writer, chunk, stats, samples, ploidy_model):
     stats = _fetch_stats(stats)
+    _emit_records_host(writer, chunk, stats, samples, ploidy_model)
+
+
+def _emit_records_host(writer, chunk, stats, samples, ploidy_model):
     gpp, app, gq, gt = stats.gpp, stats.app, stats.gq, stats.gt
     saf, nak, fak, mac = stats.saf, stats.nak, stats.fak, stats.mac
 
