@@ -831,7 +831,11 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     batch = []
     num_vars = 0
     for fc in pool:
-        if num_vars >= NOISE_ESTIMATION_VARIANTS or len(batch) >= 8192:
+        # the reference draws ~100k variants (NOISE_ESTIMATION_VARIANTS)
+        # from the shuffled single-cluster pool (InferenceEngine.cpp:141-151);
+        # the cluster cap is only an HBM safety net (classes split into
+        # _bucket_limit-sized buckets below)
+        if num_vars >= NOISE_ESTIMATION_VARIANTS or len(batch) >= 262144:
             break
         batch.append(fc)
         num_vars += len(fc.variants)
