@@ -1020,11 +1020,20 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
         out_path, genome, [s.name for s in samples], command_lines
     )
 
-    singles = [
-        fc for fc in unit.compiled if getattr(fc, "group_size", 1) == 1
-    ]
+    # Only containment FAMILIES need conditional parent->child sampling.
+    # Clusters that merely share a multi-cluster group but have no
+    # containment links are independent (group-shared k-mers are excluded,
+    # PARITY "Nested clusters" note) and run through the standard per-class
+    # path — routing them through the nested program would pad every one of
+    # them into a single giant bucket.
     nested = [
-        fc for fc in unit.compiled if getattr(fc, "group_size", 1) > 1
+        fc for fc in unit.compiled
+        if getattr(fc, "parent_id", -1) >= 0 or getattr(fc, "children_ids", [])
+    ]
+    singles = [
+        fc for fc in unit.compiled
+        if getattr(fc, "parent_id", -1) < 0
+        and not getattr(fc, "children_ids", [])
     ]
 
     by_class = defaultdict(list)
@@ -1407,9 +1416,14 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     # genotyped after the joint phase with the joint-estimated noise frozen
     # (the per-iteration noise feedback of rare nested groups is negligible;
     # PARITY.md "Nested clusters")
-    fcs = [fc for fc in unit.compiled if getattr(fc, "group_size", 1) == 1]
+    fcs = [
+        fc for fc in unit.compiled
+        if getattr(fc, "parent_id", -1) < 0
+        and not getattr(fc, "children_ids", [])
+    ]
     nested = [
-        fc for fc in unit.compiled if getattr(fc, "group_size", 1) > 1
+        fc for fc in unit.compiled
+        if getattr(fc, "parent_id", -1) >= 0 or getattr(fc, "children_ids", [])
     ]
     if not fcs:
         fcs = list(unit.compiled)
