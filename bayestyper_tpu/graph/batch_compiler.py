@@ -132,8 +132,28 @@ def compile_clusters_batch(
         nested containment (same contract as compile_cluster's child_spans).
     Returns list of CompiledCluster in input order.
     """
+    import gc
+
     child_spans_by_id = child_spans_by_id or {}
     out = [None] * len(clusters)
+
+    # bulk object churn (millions of path tuples + per-cluster dataclasses,
+    # none cyclic) makes Python's generational GC rescan the heap over and
+    # over — ~1/3 of compile wall time at 1M clusters; collect once at the end
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        return _compile_all(
+            clusters, genome, kmer_size, sample_blooms,
+            max_sample_haplotypes, child_spans_by_id, log, out,
+        )
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _compile_all(clusters, genome, kmer_size, sample_blooms,
+                 max_sample_haplotypes, child_spans_by_id, log, out):
 
     # ---- phase 1: per-cluster path enumeration (irregular host work) ----
     # path rows: (cluster_idx, allele_indices, seq_bytes, spans, retained)
@@ -198,10 +218,15 @@ def compile_clusters_batch(
         ),
     )
 
+    # chunks are independent (disjoint `out` slots) and their heavy passes
+    # (native kernels via ctypes, large numpy ops) release the GIL — two
+    # workers overlap the host cores
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunks = []
     chunk = []
     chunk_bytes = 0
     chunk_cls = None
-    done = 0
     for oi in order:
         ps = pathsets[oi]
         nbytes = sum(len(s) for s in ps[2])
@@ -211,17 +236,23 @@ def compile_clusters_batch(
             or chunk_bytes + nbytes > _CHUNK_BYTES
             or len(chunk) >= _CHUNK_CLUSTERS
         ):
-            _compile_chunk(chunk, clusters, kmer_size, out)
-            done += len(chunk)
-            if log and done % 1_000_000 < len(chunk):
-                log(f"Compiled {done}/{len(clusters)} cluster graphs")
+            chunks.append(chunk)
             chunk = []
             chunk_bytes = 0
         chunk.append(ps)
         chunk_bytes += nbytes
         chunk_cls = cls
     if chunk:
-        _compile_chunk(chunk, clusters, kmer_size, out)
+        chunks.append(chunk)
+    if len(chunks) > 1:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(
+                lambda ch: _compile_chunk(ch, clusters, kmer_size, out),
+                chunks,
+            ))
+    else:
+        for ch in chunks:
+            _compile_chunk(ch, clusters, kmer_size, out)
     return out
 
 
@@ -247,57 +278,67 @@ def _compile_chunk(pathsets, clusters, kmer_size, out):
     path_cluster = np.asarray(path_cluster, np.int64)
     path_hap = np.asarray(path_hap, np.int64)
 
+    from .. import native
+
+    have_native = native.available()
+
     codes, valid = encode_bases(buf)
     hi, lo, ok = kmer_lanes(codes, valid, k)
     g = np.flatnonzero(ok)          # global start positions of valid kmers
     hi, lo = hi[g], lo[g]
     # path of each kmer: separator-crossing kmers are already invalid, so a
     # valid kmer lies fully inside one path
-    pid = np.searchsorted(offsets, g, side="right") - 1
+    if have_native:
+        pid = native.entry_paths(g, offsets)
+    else:
+        pid = np.searchsorted(offsets, g, side="right") - 1
     ecl = path_cluster[pid]          # chunk-local cluster per entry
     ehap = path_hap[pid]
 
-    # ---- per-cluster canonical dedupe ----
-    # entries are already cluster-contiguous: per-segment argsort by (hi, lo)
-    # (native; small cache-resident sorts beat a global 3-key lexsort ~5x)
-    from .. import native
-
-    if native.available():
+    # ---- per-cluster canonical dedupe + multiplicity ----
+    # entries are already cluster-contiguous: one fused native pass sorts
+    # each segment by (hi, lo), emits the unique tables, per-entry unique
+    # rows and the [unique, Hmax] multiplicity matrix (bt_cluster_tables);
+    # the numpy fallback does the same in ~10 vectorised passes
+    h_max = max((len(ps[1]) for ps in pathsets), default=1)
+    v_max = max((len(clusters[ps[0]].variants) for ps in pathsets), default=1)
+    n = len(hi)
+    if have_native:
         seg_off = np.searchsorted(
             ecl, np.arange(len(pathsets) + 1, dtype=np.int64)
         )
-        perm = native.segment_sort(hi, lo, seg_off)
+        urow, u_hi, u_lo, k_per_cluster, mult_flat = native.cluster_tables(
+            hi, lo, ehap, seg_off, h_max, MAX_HAPLOID_MULTIPLICITY
+        )
+        n_unique = len(u_hi)
     else:
         perm = np.lexsort((lo, hi, ecl))
-    s_hi, s_lo, s_cl = hi[perm], lo[perm], ecl[perm]
-    n = len(perm)
-    first = np.ones(n, bool)
-    if n:
-        first[1:] = (
-            (s_cl[1:] != s_cl[:-1]) | (s_hi[1:] != s_hi[:-1])
-            | (s_lo[1:] != s_lo[:-1])
-        )
-    urow_sorted = np.cumsum(first) - 1 if n else np.zeros(0, np.int64)
-    n_unique = int(first.sum()) if n else 0
-    # unique kmer tables + cluster segmentation
-    u_hi = s_hi[first] if n else np.zeros(0, np.uint64)
-    u_lo = s_lo[first] if n else np.zeros(0, np.uint64)
-    u_cl = s_cl[first] if n else np.zeros(0, np.int64)
-    k_per_cluster = np.bincount(u_cl, minlength=len(pathsets)).astype(np.int64)
+        s_hi, s_lo, s_cl = hi[perm], lo[perm], ecl[perm]
+        first = np.ones(n, bool)
+        if n:
+            first[1:] = (
+                (s_cl[1:] != s_cl[:-1]) | (s_hi[1:] != s_hi[:-1])
+                | (s_lo[1:] != s_lo[:-1])
+            )
+        urow_sorted = np.cumsum(first) - 1 if n else np.zeros(0, np.int64)
+        n_unique = int(first.sum()) if n else 0
+        u_hi = s_hi[first] if n else np.zeros(0, np.uint64)
+        u_lo = s_lo[first] if n else np.zeros(0, np.uint64)
+        u_cl = s_cl[first] if n else np.zeros(0, np.int64)
+        k_per_cluster = np.bincount(
+            u_cl, minlength=len(pathsets)
+        ).astype(np.int64)
+        # urow per entry in ORIGINAL order (for positional member ranges)
+        urow = np.empty(n, np.int64)
+        urow[perm] = urow_sorted
+        mult_flat = np.bincount(
+            urow * h_max + ehap, minlength=n_unique * h_max
+        ).reshape(n_unique, h_max)
+        mult_flat = np.minimum(
+            mult_flat, MAX_HAPLOID_MULTIPLICITY
+        ).astype(np.uint8)
     k_off = np.zeros(len(pathsets) + 1, np.int64)
     np.cumsum(k_per_cluster, out=k_off[1:])
-
-    # urow per entry in ORIGINAL order (needed for positional member ranges)
-    urow = np.empty(n, np.int64)
-    urow[perm] = urow_sorted
-
-    # ---- multiplicity: [n_unique, Hmax] via one bincount ----
-    h_max = max((len(ps[1]) for ps in pathsets), default=1)
-    v_max = max((len(clusters[ps[0]].variants) for ps in pathsets), default=1)
-    mult_flat = np.bincount(
-        urow * h_max + ehap, minlength=n_unique * h_max
-    ).reshape(n_unique, h_max)
-    mult_flat = np.minimum(mult_flat, MAX_HAPLOID_MULTIPLICITY).astype(np.uint8)
 
     # ---- membership: [n_unique, Vmax, Hmax] ----
     # fast single-variant clusters: every path kmer crosses the variant
@@ -336,18 +377,21 @@ def _compile_chunk(pathsets, clusters, kmer_size, out):
         q1 = np.asarray(sp_q1, np.int64)
         vi_arr = np.asarray(sp_vi, np.int64)
         hap_arr = np.asarray(sp_hap, np.int64)
-        s0 = np.searchsorted(g, q0, side="left")
-        s1 = np.searchsorted(g, q1, side="left")
-        span_len = s1 - s0
-        total = int(span_len.sum())
-        if total:
-            rep = np.repeat(np.arange(len(q0)), span_len)
-            base = np.repeat(s0, span_len)
-            incr = np.arange(total) - np.repeat(
-                np.cumsum(span_len) - span_len, span_len
-            )
-            eidx = base + incr
-            member_flat[urow[eidx], vi_arr[rep], hap_arr[rep]] = True
+        if have_native:
+            native.member_spans(g, urow, q0, q1, vi_arr, hap_arr, member_flat)
+        else:
+            s0 = np.searchsorted(g, q0, side="left")
+            s1 = np.searchsorted(g, q1, side="left")
+            span_len = s1 - s0
+            total = int(span_len.sum())
+            if total:
+                rep = np.repeat(np.arange(len(q0)), span_len)
+                base = np.repeat(s0, span_len)
+                incr = np.arange(total) - np.repeat(
+                    np.cumsum(span_len) - span_len, span_len
+                )
+                eidx = base + incr
+                member_flat[urow[eidx], vi_arr[rep], hap_arr[rep]] = True
 
     # ---- per-cluster assembly (views into the chunk arrays; the finalise
     # step copies only when exclusions bind) ----

@@ -34,7 +34,8 @@ def _build():
     out = _lib_path()
     try:
         subprocess.run(
-            ["c++", "-O3", "-march=native", "-shared", "-fPIC", "-o", out, src],
+            ["c++", "-O3", "-march=native", "-pthread", "-shared", "-fPIC",
+             "-o", out, src],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -70,6 +71,12 @@ def get_lib():
     lib.bt_segment_sort.argtypes = [u64p, u64p, i64p, i64, i64p]
     lib.bt_pair_unique.argtypes = [u64p, u64p, i64, i64p, i64p, i64p]
     lib.bt_pair_unique.restype = i64
+    lib.bt_cluster_tables.argtypes = [u64p, u64p, i64p, i64p, i64, i32, i32,
+                                      i64p, u64p, u64p, i64p, u8p]
+    lib.bt_cluster_tables.restype = i64
+    lib.bt_entry_paths.argtypes = [i64p, i64, i64p, i64, i64p]
+    lib.bt_member_spans.argtypes = [i64p, i64, i64p, i64p, i64p, i64p, i64p,
+                                    i64, i64, i64, u8p]
     lib.bt_kmer_lanes.argtypes = [u8p, u8p, i64, i32, u64p, u64p, u8p]
     lib.bt_lane_lookup.argtypes = [u64p, u64p, i64, u64p, u64p, i64, i64p]
     lib.bt_kmc_decode.argtypes = [u8p, i64, i32, i32, i32, u64p, i32, i32,
@@ -84,6 +91,55 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def cluster_tables(hi, lo, ehap, seg_off, h_max, mult_cap):
+    """Fused per-segment sort + dedupe + multiplicity (see btnative.cpp).
+
+    Returns (urow [n] int64, u_hi, u_lo [n_unique], k_per_seg [n_segs],
+    mult_flat [n_unique, h_max] uint8)."""
+    lib = get_lib()
+    n = len(hi)
+    n_segs = len(seg_off) - 1
+    urow = np.empty(n, np.int64)
+    u_hi = np.empty(n, np.uint64)
+    u_lo = np.empty(n, np.uint64)
+    k_per_seg = np.empty(n_segs, np.int64)
+    mult_flat = np.zeros((max(n, 1), h_max), np.uint8)
+    nu = lib.bt_cluster_tables(
+        np.ascontiguousarray(hi, np.uint64),
+        np.ascontiguousarray(lo, np.uint64),
+        np.ascontiguousarray(ehap, np.int64),
+        np.ascontiguousarray(seg_off, np.int64),
+        n_segs, h_max, mult_cap, urow, u_hi, u_lo, k_per_seg, mult_flat,
+    )
+    return urow, u_hi[:nu], u_lo[:nu], k_per_seg, mult_flat[:nu]
+
+
+def entry_paths(g, offsets):
+    """Path index of each sorted global position (two-pointer walk)."""
+    lib = get_lib()
+    pid = np.empty(len(g), np.int64)
+    lib.bt_entry_paths(
+        np.ascontiguousarray(g, np.int64), len(g),
+        np.ascontiguousarray(offsets, np.int64), len(offsets), pid,
+    )
+    return pid
+
+
+def member_spans(g, urow, q0, q1, vi, hap, member_flat):
+    """Scatter span-covered entries into the [n_unique, V, H] member tensor."""
+    lib = get_lib()
+    n_u, v_max, h_max = member_flat.shape
+    lib.bt_member_spans(
+        np.ascontiguousarray(g, np.int64), len(g),
+        np.ascontiguousarray(urow, np.int64),
+        np.ascontiguousarray(q0, np.int64),
+        np.ascontiguousarray(q1, np.int64),
+        np.ascontiguousarray(vi, np.int64),
+        np.ascontiguousarray(hap, np.int64),
+        len(q0), v_max, h_max, member_flat.view(np.uint8).reshape(-1),
+    )
+
+
 def pair_unique(hi, lo):
     """Global (hi, lo) unique ranking: returns (midx, rep) where midx[i] is
     the sorted-unique rank of entry i and rep[u] is a representative input
@@ -95,7 +151,7 @@ def pair_unique(hi, lo):
     bits = 1
     while (1 << bits) < n // 8 and bits < 24:
         bits += 1
-    scratch = np.empty((1 << bits) + 1 + 3 * n, dtype=np.int64)
+    scratch = np.empty((1 << bits) + 1 + n, dtype=np.int64)
     nu = lib.bt_pair_unique(
         np.ascontiguousarray(hi, np.uint64),
         np.ascontiguousarray(lo, np.uint64), n, midx, rep, scratch,

@@ -14,6 +14,8 @@
 #include <cstdint>
 #include <cstring>
 #include <numeric>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -106,6 +108,96 @@ void bt_kmer_lanes(const uint8_t* codes, const uint8_t* valid, int64_t n,
     }
 }
 
+// --- fused per-cluster kmer tables ----------------------------------------
+//
+// One pass over the batch compiler's (hi, lo, hap) entry stream, segmented
+// by cluster: per segment, sort by (hi, lo), emit the unique kmer table,
+// per-entry unique-row ids, per-cluster unique counts, and the
+// [unique, h_max] multiplicity matrix (saturating at mult_cap). Replaces
+// ~10 full numpy passes over hundreds of millions of entries with one
+// cache-resident walk (the vectorised python fallback stays in
+// graph/batch_compiler.py).
+// Returns n_unique. mult_flat must be zeroed by the caller.
+int64_t bt_cluster_tables(const uint64_t* hi, const uint64_t* lo,
+                          const int64_t* ehap, const int64_t* seg_off,
+                          int64_t n_segs, int32_t h_max, int32_t mult_cap,
+                          int64_t* urow, uint64_t* u_hi, uint64_t* u_lo,
+                          int64_t* k_per_seg, uint8_t* mult_flat) {
+    struct E { uint64_t h, l; int64_t i; };
+    std::vector<E> buf;
+    int64_t u = -1;
+    for (int64_t s = 0; s < n_segs; ++s) {
+        const int64_t a = seg_off[s], b = seg_off[s + 1];
+        buf.resize(b - a);
+        for (int64_t j = a; j < b; ++j) {
+            buf[j - a] = E{hi[j], lo[j], j};
+        }
+        std::sort(buf.begin(), buf.end(), [](const E& x, const E& y) {
+            return x.h < y.h || (x.h == y.h && x.l < y.l);
+        });
+        const int64_t u_start = u + 1;
+        uint64_t ph = 0, pl = 0;
+        bool any = false;
+        for (const E& e : buf) {
+            if (!any || e.h != ph || e.l != pl) {
+                ++u;
+                u_hi[u] = e.h;
+                u_lo[u] = e.l;
+                ph = e.h;
+                pl = e.l;
+                any = true;
+            }
+            urow[e.i] = u;
+            uint8_t* m = mult_flat + u * h_max + ehap[e.i];
+            if (*m < mult_cap) ++(*m);
+        }
+        k_per_seg[s] = u + 1 - u_start;
+    }
+    return u + 1;
+}
+
+// --- entry -> path mapping -------------------------------------------------
+//
+// g: sorted global kmer start positions; offsets: path start offsets
+// (ascending, n_paths+1). Two-pointer walk replaces a vectorised
+// searchsorted over every entry.
+void bt_entry_paths(const int64_t* g, int64_t n, const int64_t* offsets,
+                    int64_t n_paths, int64_t* pid) {
+    int64_t p = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        while (p + 1 < n_paths && offsets[p + 1] <= g[i]) ++p;
+        pid[i] = p;
+    }
+}
+
+// --- member-span scatter ---------------------------------------------------
+//
+// For each span (one (path, variant) pair with global query range
+// [q0, q1)): find the covered entries in the sorted position array g by
+// binary search and set member[urow[e]*v_max*h_max + vi*h_max + hap] for
+// each. Replaces the numpy ragged-range expansion (np.repeat + 3-array
+// fancy scatter over tens of millions of elements).
+void bt_member_spans(const int64_t* g, int64_t n, const int64_t* urow,
+                     const int64_t* q0, const int64_t* q1,
+                     const int64_t* vi, const int64_t* hap, int64_t n_spans,
+                     int64_t v_max, int64_t h_max, uint8_t* member) {
+    for (int64_t s = 0; s < n_spans; ++s) {
+        // lower_bound(g, q0[s])
+        int64_t lo = 0, hi = n;
+        while (lo < hi) {
+            const int64_t mid = (lo + hi) >> 1;
+            if (g[mid] < q0[s]) lo = mid + 1; else hi = mid;
+        }
+        int64_t e = lo;
+        const int64_t stop = q1[s];
+        const int64_t col = vi[s] * h_max + hap[s];
+        while (e < n && g[e] < stop) {
+            member[urow[e] * v_max * h_max + col] = 1;
+            ++e;
+        }
+    }
+}
+
 // --- global (hi, lo) pair sort + unique ranking ---------------------------
 //
 // Replaces numpy's 2-key lexsort (~750 ns/entry) for the multigroup /
@@ -122,9 +214,11 @@ int64_t bt_pair_unique(const uint64_t* hi, const uint64_t* lo, int64_t n,
     while ((1LL << bits) < n / 8 && bits < 24) ++bits;
     const int64_t nb = 1LL << bits;
     const int32_t shift = 54 - bits;  // hi uses 54 bits (27 bases)
-    // scratch: nb+1 int64 offsets + n int64 perm (+ 2n spare). The scatter
-    // writes only 8B indices; per-bucket sorts gather each bucket's keys
-    // into a small local buffer once, so comparisons never touch DRAM.
+    // scratch: nb+1 int64 offsets + n int64 perm. The scatter writes only
+    // 8B indices; per-bucket sorts gather each bucket's keys into a small
+    // local buffer once, so comparisons never touch DRAM. Buckets are
+    // independent: two worker threads sort disjoint halves, each emitting
+    // LOCAL unique ranks + counts; a fixup pass offsets the second half.
     struct E { uint64_t h, l; int64_t i; };
     int64_t* off = scratch;            // nb + 1
     int64_t* perm = scratch + nb + 1;  // n
@@ -135,50 +229,65 @@ int64_t bt_pair_unique(const uint64_t* hi, const uint64_t* lo, int64_t n,
         const int64_t b = hi[i] >> shift;
         perm[off[b]++] = i;
     }
-    // off[b] now holds the END of bucket b
-    E local[4096];
-    int64_t start = 0;
-    int64_t u = -1;
-    uint64_t ph = 0, pl = 0;
-    for (int64_t b = 0; b < nb; ++b) {
-        const int64_t end = off[b];
-        const int64_t m = end - start;
-        if (m > 1) {
-            if (m <= 4096) {
+    // off[b] now holds the END of bucket b; bucket b spans
+    // [b ? off[b-1] : 0, off[b])
+    auto run = [&](int64_t b_begin, int64_t b_end, int64_t rep_base,
+                   int64_t* n_unique_out) {
+        std::vector<E> local;
+        int64_t u = rep_base - 1;
+        uint64_t ph = 0, pl = 0;
+        bool any = false;
+        int64_t start = b_begin ? off[b_begin - 1] : 0;
+        for (int64_t b = b_begin; b < b_end; ++b) {
+            const int64_t end = off[b];
+            const int64_t m = end - start;
+            if (m > 1) {
+                local.resize(m);
                 for (int64_t j = 0; j < m; ++j) {
                     const int64_t i = perm[start + j];
                     local[j] = E{hi[i], lo[i], i};
                 }
-                std::sort(local, local + m, [](const E& x, const E& y) {
-                    return x.h < y.h || (x.h == y.h && x.l < y.l);
-                });
+                std::sort(local.begin(), local.end(),
+                          [](const E& x, const E& y) {
+                              return x.h < y.h ||
+                                     (x.h == y.h && x.l < y.l);
+                          });
                 for (int64_t j = 0; j < m; ++j) {
                     const E& e = local[j];
                     perm[start + j] = e.i;
-                    if (u < 0 || e.h != ph || e.l != pl) {
-                        ++u; rep[u] = e.i; ph = e.h; pl = e.l;
+                    if (!any || e.h != ph || e.l != pl) {
+                        ++u; rep[u] = e.i; ph = e.h; pl = e.l; any = true;
                     }
                     midx[e.i] = u;
                 }
-                start = end;
-                continue;
+            } else if (m == 1) {
+                const int64_t i = perm[start];
+                if (!any || hi[i] != ph || lo[i] != pl) {
+                    ++u; rep[u] = i; ph = hi[i]; pl = lo[i]; any = true;
+                }
+                midx[i] = u;
             }
-            std::sort(perm + start, perm + end,
-                      [&](int64_t x, int64_t y) {
-                          return hi[x] < hi[y] ||
-                                 (hi[x] == hi[y] && lo[x] < lo[y]);
-                      });
+            start = end;
         }
-        for (int64_t j = start; j < end; ++j) {
-            const int64_t i = perm[j];
-            if (u < 0 || hi[i] != ph || lo[i] != pl) {
-                ++u; rep[u] = i; ph = hi[i]; pl = lo[i];
-            }
-            midx[i] = u;
-        }
-        start = end;
+        *n_unique_out = u + 1 - rep_base;
+    };
+
+    const int64_t b_mid = nb / 2;
+    const int64_t mid_off = b_mid ? off[b_mid - 1] : 0;
+    int64_t u1 = 0, u2 = 0;
+    // second half's local ids start at mid_off (an upper bound on the first
+    // half's unique count); the fixup below compacts them
+    std::thread t1(run, 0, b_mid, 0, &u1);
+    std::thread t2(run, b_mid, nb, mid_off, &u2);
+    t1.join();
+    t2.join();
+    if (u1 != mid_off) {
+        const int64_t delta = mid_off - u1;
+        // entries of the second half are exactly perm[mid_off..n)
+        for (int64_t j = mid_off; j < n; ++j) midx[perm[j]] -= delta;
+        std::memmove(rep + u1, rep + mid_off, sizeof(int64_t) * u2);
     }
-    return u + 1;
+    return u1 + u2;
 }
 
 // --- sorted lane-pair table lookup --------------------------------------
