@@ -836,7 +836,7 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     import jax.numpy as jnp
     from .model.buckets import build_bucket
     from .model.gibbs import (
-        GibbsConfig, make_outcome_space, noise_chain_multi,
+        GibbsConfig, make_outcome_space, noise_chains_multi,
     )
     from .ops.distributions import np_build_count_log_prob_tables
 
@@ -882,7 +882,9 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
                 + max(1, max(int(fc.inter_mult_female.max(initial=0))
                              for fc in cls_fcs)))
         ), 8, 4)
-        c_limit = _bucket_limit(opts, k, h, len(samples), max_tot_cls, 1)
+        c_limit = _bucket_limit(
+            opts, k, h, len(samples), max_tot_cls, opts.num_chains
+        )
         for start in range(0, len(cls_fcs), c_limit):
             fcs = cls_fcs[start : start + c_limit]
             c_pad = _pad_clusters(len(fcs), mesh)
@@ -910,30 +912,29 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
 
     shape, scale = opts.noise_rate_prior
     key = jax.random.PRNGKey(opts.random_seed)
-    # dispatch all chains asynchronously, sync once at the end
-    results = []
-    inits = []
-    for chain in range(opts.num_chains):
-        k_init = jax.random.fold_in(jax.random.fold_in(key, 77), chain)
-        init_rates = jax.random.gamma(
-            k_init, shape, (len(samples),)
-        ) * scale
-        inits.append(init_rates)
-        results.append(noise_chain_multi(
-            key, tuple(buckets), tables, init_rates, (shape, scale),
-            tuple(outcomes_list), tuple(cfgs), chain_idx=chain,
-        ))
-    results, inits = jax.device_get((results, inits))
-    rate_sum = np.sum([rs for rs, _ in results], axis=0)
+    # all chains batched in ONE program: the count-table gathers amortise
+    # across chains and the 350-step scan runs once at chain width (the
+    # per-chain RNG streams are identical to sequential dispatch)
+    k77 = jax.random.fold_in(key, 77)
+    init_rates = jax.vmap(
+        lambda ci: jax.random.gamma(
+            jax.random.fold_in(k77, ci), shape, (len(samples),)
+        )
+    )(jnp.arange(opts.num_chains, dtype=jnp.uint32)) * scale  # [ch, S]
+    rate_sums, chain_traces = noise_chains_multi(
+        key, tuple(buckets), tables, init_rates, (shape, scale),
+        tuple(outcomes_list), tuple(cfgs), num_chains=opts.num_chains,
+    )
+    rate_sums, chain_traces, inits = jax.device_get(
+        (rate_sums, chain_traces, init_rates)
+    )
+    rate_sum = rate_sums.sum(axis=0)
     # traces include the initial rates as iteration 0 (noise dump format,
     # InferenceEngine.cpp:205)
-    traces = [
-        np.concatenate([np.asarray(init)[None], np.asarray(trace)], axis=0)
-        for init, (_, trace) in zip(inits, results)
-    ]
+    traces = np.concatenate([inits[:, None, :], chain_traces], axis=1)
     mean_rates = rate_sum / (opts.num_samples * opts.num_chains)
     _log(f"Estimated noise rates: {mean_rates}")
-    return mean_rates, np.stack(traces)
+    return mean_rates, traces
 
 
 def _is_single_cluster_group(fc) -> bool:
@@ -1422,7 +1423,7 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     import jax.numpy as jnp
     from .model.buckets import build_bucket
     from .model.gibbs import (
-        GibbsConfig, joint_chain_multi, make_outcome_space,
+        GibbsConfig, joint_chains_multi, make_outcome_space,
     )
     from .model.stats import FilterConfig, collect_bucket_stats
     from .ops.distributions import np_build_count_log_prob_tables
@@ -1499,24 +1500,22 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
 
     shape, scale = opts.noise_rate_prior
     key = jax.random.PRNGKey(opts.random_seed)
-    tallies_per_class = [[] for _ in buckets]
-    ws_per_class = [[] for _ in buckets]
-    traces = []
-    for chain in range(opts.num_chains):
-        k_init = jax.random.fold_in(jax.random.fold_in(key, 77), chain)
-        init_rates = jax.random.gamma(k_init, shape, (len(samples),)) * scale
-        tallies, ws, trace = joint_chain_multi(
-            key, tuple(buckets), tables, init_rates, (shape, scale),
-            tuple(outcomes_list), tuple(cfgs), chain_idx=chain,
+    # all chains in ONE compiled program (see noise_chains_multi); per-chain
+    # RNG streams are identical to sequential dispatch
+    k77 = jax.random.fold_in(key, 77)
+    init_rates = jax.vmap(
+        lambda ci: jax.random.gamma(
+            jax.random.fold_in(k77, ci), shape, (len(samples),)
         )
-        for bi in range(len(buckets)):
-            tallies_per_class[bi].append(tallies[bi])
-            ws_per_class[bi].append(ws[bi])
-        traces.append(np.concatenate(
-            [np.asarray(init_rates)[None], np.asarray(trace)], axis=0
-        ))
-        _log(f"Finished {chain + 1} gibbs sampling chain"
-             f"{'s' if chain else ''}")
+    )(jnp.arange(opts.num_chains, dtype=jnp.uint32)) * scale  # [ch, S]
+    tallies, ws, trace = joint_chains_multi(
+        key, tuple(buckets), tables, init_rates, (shape, scale),
+        tuple(outcomes_list), tuple(cfgs), num_chains=opts.num_chains,
+    )
+    traces = np.concatenate(
+        [np.asarray(init_rates)[:, None, :], np.asarray(trace)], axis=1
+    )
+    _log(f"Finished {opts.num_chains} gibbs sampling chains")
 
     filters = FilterConfig.from_model(
         nb_params.mean, opts.min_genotype_posterior, opts.min_number_of_kmers,
@@ -1524,7 +1523,7 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     )
     prefix = _output_prefix(out_path)
     write_genomic_parameters(prefix, samples, nb_params)
-    trace_arr = np.stack(traces)
+    trace_arr = traces
     mean_rates = trace_arr[:, 1 + opts.burn_in :, :].mean(axis=(0, 1))
     write_noise_parameters(prefix, samples, trace_arr, mean_rates)
 
@@ -1532,10 +1531,8 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
         out_path, genome, [s.name for s in samples], command_lines
     )
     for bi, cls_fcs in enumerate(class_fcs):
-        tally = jnp.stack(tallies_per_class[bi], axis=1)  # [C, chains, S, O]
-        w = jnp.stack(ws_per_class[bi], axis=1)           # [C, chains, K]
         stats = collect_bucket_stats(
-            buckets[bi], outcomes_list[bi], tally, w, filters,
+            buckets[bi], outcomes_list[bi], tallies[bi], ws[bi], filters,
             allele_capacity=caps_a[bi], mac_top_t=8,
         )
         _emit_records(writer, cls_fcs, stats, samples, ploidy_model)
@@ -1553,7 +1550,7 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     _log(f"Wrote {n} variants to {out_path}")
     return {
         "num_variants": n,
-        "noise_traces": np.stack(traces),
+        "noise_traces": traces,
         "nb_mean": nb_params.mean,
         "nb_var": nb_params.var,
     }

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..constants import KMER_SIZE
 
 
@@ -70,22 +72,28 @@ class VariantCluster:
 
 def _split_into_groups(variants, kmer_size):
     """Gap >= k between influence regions closes a group
-    (VariantFileParser.cpp:466-470)."""
-    groups = []
-    current = []
-    current_end = None
-    for v in sorted(variants, key=lambda x: x.pos):
-        if current and v.pos - current_end < kmer_size:
-            current.append(v)
-            current_end = max(current_end, v.influence_end)
-        else:
-            if current:
-                groups.append(current)
-            current = [v]
-            current_end = v.influence_end
-    if current:
-        groups.append(current)
-    return groups
+    (VariantFileParser.cpp:466-470).
+
+    Vectorised: the loop's running `current_end` is exactly the cumulative
+    max of influence ends, so group boundaries are one `maximum.accumulate`
+    + compare instead of a Python pass over every variant."""
+    n = len(variants)
+    if n == 0:
+        return []
+    pos = np.fromiter((v.pos for v in variants), np.int64, n)
+    if np.any(pos[1:] < pos[:-1]):
+        order = np.argsort(pos, kind="stable")
+        variants = [variants[i] for i in order]
+        pos = pos[order]
+    infl = np.fromiter((v.influence_end for v in variants), np.int64, n)
+    run_end = np.maximum.accumulate(infl)
+    starts = np.flatnonzero(
+        np.concatenate(([True], pos[1:] - run_end[:-1] >= kmer_size))
+    )
+    bounds = np.append(starts, n)
+    return [
+        variants[bounds[i] : bounds[i + 1]] for i in range(len(starts))
+    ]
 
 
 class _Cluster:
@@ -181,6 +189,17 @@ def cluster_variants(variants, kmer_size: int = KMER_SIZE):
     then, so parent/children links use list indices fixed up afterwards)."""
     out = []
     for gid, gvars in enumerate(_split_into_groups(variants, kmer_size)):
+        if len(gvars) == 1:
+            # singleton group (the dominant case): one cluster, no flank
+            # machinery, no containment
+            v = gvars[0]
+            vc = VariantCluster(chrom=v.chrom, variants=list(gvars))
+            vc.group_id = gid
+            vc.group_size = 1
+            vc.group_start = v.pos
+            vc.group_end = v.end
+            out.append([vc])
+            continue
         raw = _flank_clusters(gvars, kmer_size)
         vcs = [
             VariantCluster(chrom=gvars[0].chrom, variants=c.variants)

@@ -692,47 +692,68 @@ def genotype_nested(base_key, buckets, parent_rows, retain_tables, tables,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("outcomes_list", "cfgs", "axis_name")
+    jax.jit,
+    static_argnames=("outcomes_list", "cfgs", "num_chains", "axis_name"),
 )
-def noise_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
-                      outcomes_list, cfgs, chain_idx,
-                      axis_name: str | None = None):
-    """One sequential noise-estimation chain over MULTIPLE size-class buckets.
+def noise_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
+                       outcomes_list, cfgs, num_chains, chain0=0,
+                       axis_name: str | None = None):
+    """ALL noise-estimation chains over MULTIPLE size-class buckets in ONE
+    compiled program.
 
     The reference estimates noise from every single-cluster group regardless
-    of size (InferenceEngine.cpp:141-151). Padding all size classes into one
-    superset bucket would cost O(C_total * K_max * H_max); instead each class
-    keeps its own dense bucket and the per-iteration gamma update pools the
-    zero-multiplicity sufficient statistics across classes (and across the
-    mesh via psum), so the coupling is exact while the compute stays
-    per-class-sized. The static Python loop over buckets unrolls into one
-    compiled scan body.
+    of size (InferenceEngine.cpp:141-151) and runs its chains sequentially.
+    Padding all size classes into one superset bucket would cost
+    O(C_total * K_max * H_max); instead each class keeps its own dense bucket
+    and the per-iteration gamma update pools the zero-multiplicity sufficient
+    statistics across classes (and across the mesh via psum), so the coupling
+    is exact while the compute stays per-class-sized. Chains are batched on a
+    leading axis of every per-chain tensor: the expensive count-table gathers
+    in compute_log_likelihoods are chain-independent and amortise across all
+    chains, and the 350-step scan runs once at chain width instead of
+    `num_chains` times at width 1 (the scan is latency-bound, so this is a
+    near-num_chains-x wall-clock win). Each chain's RNG stream is derived
+    exactly as the sequential implementation derived it
+    (fold_in(base_key, chain_idx) and onward), so per-chain draws are
+    unchanged.
 
     Args:
       buckets: tuple of ClusterBucket (one per size class).
+      init_rates: [num_chains, S] per-chain starting rates.
       outcomes_list: tuple of OutcomeSpace matching buckets.
-      cfgs: tuple of GibbsConfig matching buckets (burn_in/num_samples/rates
-        are taken from cfgs[0]; max_total_mult/apply_cap are per bucket).
-    Returns (rate_sum [S], trace [iters, S]) like noise_chain.
+      cfgs: tuple of GibbsConfig matching buckets (burn_in/num_samples are
+        taken from cfgs[0]; max_total_mult/apply_cap are per bucket).
+      num_chains: static chain count; chain indices are chain0..chain0+n-1.
+    Returns (rate_sum [num_chains, S], trace [num_chains, iters, S]).
     """
     num_iters = cfgs[0].burn_in + cfgs[0].num_samples
     prior_shape, prior_scale = noise_prior
-    k_master = jax.random.fold_in(base_key, jnp.uint32(chain_idx))
-    k_noise = jax.random.fold_in(k_master, jnp.uint32(0x6E6F6973))  # "nois"
+    chain_ids = chain0 + jnp.arange(num_chains, dtype=jnp.uint32)
+    k_master = jax.vmap(lambda ci: jax.random.fold_in(base_key, ci))(
+        chain_ids
+    )  # [ch, 2]
+    k_noise = jax.vmap(
+        lambda km: jax.random.fold_in(km, jnp.uint32(0x6E6F6973))  # "nois"
+    )(k_master)
 
     setups = []
     for bi, (bucket, outcomes, cfg) in enumerate(
         zip(buckets, outcomes_list, cfgs)
     ):
-        kb = jax.random.fold_in(k_master, jnp.uint32(bi))
-        k_sub, k_chain = jax.random.split(kb)
-        w = _subsample_with_cap(k_sub, bucket, 1, cfg)
+        def per_chain_w(km, bucket=bucket, cfg=cfg, bi=bi):
+            kb = jax.random.fold_in(km, jnp.uint32(bi))
+            k_sub, k_chain = jax.random.split(kb)
+            return _subsample_with_cap(k_sub, bucket, 1, cfg)[:, 0], k_chain
+
+        w_ch, k_chain_ch = jax.vmap(per_chain_w)(k_master)  # [ch,C,K], [ch,2]
+        w = jnp.transpose(w_ch, (1, 0, 2))  # [C, ch, K]
+        # chain-independent gathers inside are computed once; only the final
+        # contraction carries the chain axis
         llg = compute_log_likelihoods(
             bucket, outcomes, tables, w, cfg.max_total_mult,
             include_noise_row=False,
-        )[:, 0]
-        a, b, c0 = compute_noise_terms(bucket, outcomes, w)
-        a, b, c0 = a[:, 0], b[:, 0], c0[:, 0]
+        )  # [C, ch, S, O]
+        a, b, c0 = compute_noise_terms(bucket, outcomes, w)  # [C, ch, S, O]
         ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
         osp = (
             jnp.asarray(outcomes.oa),
@@ -741,13 +762,20 @@ def noise_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
             jnp.asarray(outcomes.ploidy_mask),
         )
         cluster_keys = jax.vmap(
-            lambda cid, kc=k_chain: jax.random.fold_in(
-                jax.random.fold_in(kc, cid.astype(jnp.uint32)), 0
-            )
-        )(bucket.cluster_id)
+            lambda kc: jax.vmap(
+                lambda cid: jax.random.fold_in(
+                    jax.random.fold_in(kc, cid.astype(jnp.uint32)), 0
+                )
+            )(bucket.cluster_id)
+        )(k_chain_ch)  # [ch, C, 2]
+        cluster_keys = jnp.transpose(cluster_keys, (1, 0, 2))  # [C, ch, 2]
         hv = bucket.hap_valid
         nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
-        freqs0 = jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)
+        freqs0 = jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)  # [C, H]
+        freqs0 = jnp.broadcast_to(
+            freqs0[:, None, :],
+            (bucket.num_clusters, num_chains, bucket.num_haplotypes),
+        )
         cv = bucket.cluster_valid.astype(jnp.float32)
         setups.append(
             dict(bucket=bucket, llg=llg, a=a, b=b, c0=c0, ll_mask=ll_mask,
@@ -755,35 +783,41 @@ def noise_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
         )
 
     def step(carry, t):
-        freqs_list, rates = carry
+        freqs_list, rates = carry  # rates: [ch, S]
         log_r = jnp.log(jnp.maximum(rates, 1e-30))
-        count_sum = jnp.zeros_like(rates)
-        num_obs = jnp.zeros_like(rates)
+        count_sum = jnp.zeros(rates.shape, jnp.int32)
+        num_obs = jnp.zeros(rates.shape, jnp.int32)
         new_freqs_list = []
         for su, freqs in zip(setups, freqs_list):
             ll = su["llg"] + (
-                su["a"] * log_r[None, :, None]
-                - su["b"] * rates[None, :, None]
+                su["a"] * log_r[None, :, :, None]
+                - su["b"] * rates[None, :, :, None]
                 - su["c0"]
             ) * su["ll_mask"]
 
-            def per_cluster(ck, f, llc, ploidy, hvc, sp, usp, osp=su["osp"]):
+            def per_cc(ck, f, llcc, ploidy, hvc, sp, usp, osp=su["osp"]):
                 key = jax.random.fold_in(ck, t.astype(jnp.uint32))
-                return _gibbs_iteration(key, f, llc, ploidy, hvc, sp, usp, osp)
+                return _gibbs_iteration(key, f, llcc, ploidy, hvc, sp, usp, osp)
 
             bucket = su["bucket"]
-            new_freqs, o_sel = jax.vmap(per_cluster)(
-                su["cluster_keys"], freqs, ll, bucket.ploidy,
-                bucket.hap_valid, bucket.sparsity, bucket.use_sparse,
-            )
-            a_sel = jnp.take_along_axis(su["a"], o_sel[:, :, None], axis=2)[..., 0]
-            b_sel = jnp.take_along_axis(su["b"], o_sel[:, :, None], axis=2)[..., 0]
+            new_freqs, o_sel = jax.vmap(  # over clusters
+                jax.vmap(per_cc, in_axes=(0, 0, 0, None, None, None, None)),
+                in_axes=(0, 0, 0, 0, 0, 0, 0),
+            )(su["cluster_keys"], freqs, ll, bucket.ploidy,
+              bucket.hap_valid, bucket.sparsity, bucket.use_sparse)
+            # o_sel: [C, ch, S]
+            a_sel = jnp.take_along_axis(
+                su["a"], o_sel[:, :, :, None], axis=3
+            )[..., 0]
+            b_sel = jnp.take_along_axis(
+                su["b"], o_sel[:, :, :, None], axis=3
+            )[..., 0]
             # int32: exact, order-independent (see noise_chain)
             count_sum = count_sum + jnp.sum(
-                (a_sel * su["cv"][:, None]).astype(jnp.int32), axis=0
+                (a_sel * su["cv"][:, None, None]).astype(jnp.int32), axis=0
             )
             num_obs = num_obs + jnp.sum(
-                (b_sel * su["cv"][:, None]).astype(jnp.int32), axis=0
+                (b_sel * su["cv"][:, None, None]).astype(jnp.int32), axis=0
             )
             new_freqs_list.append(new_freqs)
 
@@ -791,11 +825,15 @@ def noise_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
             count_sum = jax.lax.psum(count_sum, axis_name)
             num_obs = jax.lax.psum(num_obs, axis_name)
 
-        k_it = jax.random.fold_in(k_noise, t.astype(jnp.uint32))
         from ..ops.sampling import fixed_round_gamma
-        shape = prior_shape + count_sum
+        shape = prior_shape + count_sum        # [ch, S]
         scale = prior_scale / (num_obs * prior_scale + 1.0)
-        new_rates = fixed_round_gamma(k_it, shape) * scale
+
+        def per_chain_rates(kn, sh):
+            k_it = jax.random.fold_in(kn, t.astype(jnp.uint32))
+            return fixed_round_gamma(k_it, sh)
+
+        new_rates = jax.vmap(per_chain_rates)(k_noise, shape) * scale
 
         collect = (t >= cfgs[0].burn_in).astype(jnp.float32)
         return (tuple(new_freqs_list), new_rates), (new_rates, collect)
@@ -804,49 +842,79 @@ def noise_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
     (_, _), (trace, collected) = jax.lax.scan(
         step, (freqs0_list, init_rates), jnp.arange(num_iters, dtype=jnp.int32)
     )
-    rate_sum = jnp.sum(trace * collected[:, None], axis=0)
+    # trace: [iters, ch, S] -> [ch, iters, S]
+    trace = jnp.transpose(trace, (1, 0, 2))
+    rate_sum = jnp.sum(trace * collected[None, :, None], axis=1)
     return rate_sum, trace
 
 
-@functools.partial(
-    jax.jit, static_argnames=("outcomes_list", "cfgs", "axis_name")
-)
-def joint_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
+def noise_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
                       outcomes_list, cfgs, chain_idx,
                       axis_name: str | None = None):
-    """One joint noise+genotyping chain over MULTIPLE size-class buckets
-    (--noise-genotyping, estimateNoiseAndGenotypes InferenceEngine.cpp:384-472).
+    """One noise chain over multiple size-class buckets — the single-chain
+    view of noise_chains_multi (identical RNG stream and results)."""
+    rate_sum, trace = noise_chains_multi(
+        base_key, buckets, tables, init_rates[None], noise_prior,
+        outcomes_list, cfgs, num_chains=1, chain0=chain_idx,
+        axis_name=axis_name,
+    )
+    return rate_sum[0], trace[0]
 
-    Like noise_chain_multi — every iteration all clusters of every size class
-    draw diplotypes under the current noise rates and the gamma update pools
-    the zero-multiplicity sufficient statistics across classes — but
-    additionally collects post-burn-in outcome tallies per bucket for
-    genotype estimation. Per-class buckets keep the memory at
-    sum_class(C*K*H) instead of C_total*K_max*H_max (one giant cluster no
-    longer inflates every cluster's padding) while the per-iteration noise
-    coupling stays exact inside one compiled scan.
 
-    Returns (tallies, ws, rate_trace): tuples per bucket — tally [C, S, O_b]
-    int32, w [C, K_b] bool — plus the [iters, S] rate trace.
+@functools.partial(
+    jax.jit,
+    static_argnames=("outcomes_list", "cfgs", "num_chains", "axis_name"),
+)
+def joint_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
+                       outcomes_list, cfgs, num_chains, chain0=0,
+                       axis_name: str | None = None):
+    """ALL joint noise+genotyping chains over MULTIPLE size-class buckets in
+    ONE compiled program (--noise-genotyping, estimateNoiseAndGenotypes
+    InferenceEngine.cpp:384-472).
+
+    Like noise_chains_multi — every iteration all clusters of every size
+    class draw diplotypes under the current per-chain noise rates and the
+    gamma update pools the zero-multiplicity sufficient statistics across
+    classes — but additionally collects post-burn-in outcome tallies per
+    bucket for genotype estimation. Per-class buckets keep the memory at
+    sum_class(C*K*H) instead of C_total*K_max*H_max while the per-iteration
+    noise coupling stays exact inside one compiled scan; chains batch on a
+    leading axis so the count-table gathers amortise and the scan runs once
+    at chain width. Per-chain RNG streams match the sequential formulation
+    (fold_in(base_key, chain_idx) and onward) exactly.
+
+    Args:
+      init_rates: [num_chains, S] per-chain starting rates.
+    Returns (tallies, ws, rate_trace): tuples per bucket — tally
+    [C, num_chains, S, O_b] int32, w [C, num_chains, K_b] bool — plus the
+    [num_chains, iters, S] rate trace.
     """
     num_iters = cfgs[0].burn_in + cfgs[0].num_samples
     prior_shape, prior_scale = noise_prior
-    k_master = jax.random.fold_in(base_key, jnp.uint32(chain_idx))
-    k_noise = jax.random.fold_in(k_master, jnp.uint32(0x6E6F6973))  # "nois"
+    chain_ids = chain0 + jnp.arange(num_chains, dtype=jnp.uint32)
+    k_master = jax.vmap(lambda ci: jax.random.fold_in(base_key, ci))(
+        chain_ids
+    )  # [ch, 2]
+    k_noise = jax.vmap(
+        lambda km: jax.random.fold_in(km, jnp.uint32(0x6E6F6973))  # "nois"
+    )(k_master)
 
     setups = []
     for bi, (bucket, outcomes, cfg) in enumerate(
         zip(buckets, outcomes_list, cfgs)
     ):
-        kb = jax.random.fold_in(k_master, jnp.uint32(bi))
-        k_sub, k_chain = jax.random.split(kb)
-        w = _subsample_with_cap(k_sub, bucket, 1, cfg)
+        def per_chain_w(km, bucket=bucket, cfg=cfg, bi=bi):
+            kb = jax.random.fold_in(km, jnp.uint32(bi))
+            k_sub, k_chain = jax.random.split(kb)
+            return _subsample_with_cap(k_sub, bucket, 1, cfg)[:, 0], k_chain
+
+        w_ch, k_chain_ch = jax.vmap(per_chain_w)(k_master)
+        w = jnp.transpose(w_ch, (1, 0, 2))  # [C, ch, K]
         llg = compute_log_likelihoods(
             bucket, outcomes, tables, w, cfg.max_total_mult,
             include_noise_row=False,
-        )[:, 0]
+        )  # [C, ch, S, O]
         a, b, c0 = compute_noise_terms(bucket, outcomes, w)
-        a, b, c0 = a[:, 0], b[:, 0], c0[:, 0]
         ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
         osp = (
             jnp.asarray(outcomes.oa),
@@ -855,13 +923,20 @@ def joint_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
             jnp.asarray(outcomes.ploidy_mask),
         )
         cluster_keys = jax.vmap(
-            lambda cid, kc=k_chain: jax.random.fold_in(
-                jax.random.fold_in(kc, cid.astype(jnp.uint32)), 0
-            )
-        )(bucket.cluster_id)
+            lambda kc: jax.vmap(
+                lambda cid: jax.random.fold_in(
+                    jax.random.fold_in(kc, cid.astype(jnp.uint32)), 0
+                )
+            )(bucket.cluster_id)
+        )(k_chain_ch)
+        cluster_keys = jnp.transpose(cluster_keys, (1, 0, 2))  # [C, ch, 2]
         hv = bucket.hap_valid
         nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
         freqs0 = jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)
+        freqs0 = jnp.broadcast_to(
+            freqs0[:, None, :],
+            (bucket.num_clusters, num_chains, bucket.num_haplotypes),
+        )
         cv = bucket.cluster_valid.astype(jnp.float32)
         setups.append(
             dict(bucket=bucket, w=w, llg=llg, a=a, b=b, c0=c0,
@@ -871,7 +946,7 @@ def joint_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
         )
 
     def step(carry, t):
-        freqs_list, rates, tally_list = carry
+        freqs_list, rates, tally_list = carry  # rates: [ch, S]
         log_r = jnp.log(jnp.maximum(rates, 1e-30))
         count_sum = jnp.zeros(rates.shape, jnp.int32)
         num_obs = jnp.zeros(rates.shape, jnp.int32)
@@ -879,31 +954,39 @@ def joint_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
         collect = (t >= cfgs[0].burn_in).astype(jnp.int32)
         for su, freqs, tally in zip(setups, freqs_list, tally_list):
             ll = su["llg"] + (
-                su["a"] * log_r[None, :, None]
-                - su["b"] * rates[None, :, None]
+                su["a"] * log_r[None, :, :, None]
+                - su["b"] * rates[None, :, :, None]
                 - su["c0"]
             ) * su["ll_mask"]
 
-            def per_cluster(ck, f, llc, ploidy, hvc, sp, usp, osp=su["osp"]):
+            def per_cc(ck, f, llcc, ploidy, hvc, sp, usp, osp=su["osp"]):
                 key = jax.random.fold_in(ck, t.astype(jnp.uint32))
-                return _gibbs_iteration(key, f, llc, ploidy, hvc, sp, usp, osp)
+                return _gibbs_iteration(key, f, llcc, ploidy, hvc, sp, usp, osp)
 
             bucket = su["bucket"]
-            new_freqs, o_sel = jax.vmap(per_cluster)(
-                su["cluster_keys"], freqs, ll, bucket.ploidy,
-                bucket.hap_valid, bucket.sparsity, bucket.use_sparse,
-            )
-            a_sel = jnp.take_along_axis(su["a"], o_sel[:, :, None], axis=2)[..., 0]
-            b_sel = jnp.take_along_axis(su["b"], o_sel[:, :, None], axis=2)[..., 0]
+            new_freqs, o_sel = jax.vmap(  # over clusters
+                jax.vmap(per_cc, in_axes=(0, 0, 0, None, None, None, None)),
+                in_axes=(0, 0, 0, 0, 0, 0, 0),
+            )(su["cluster_keys"], freqs, ll, bucket.ploidy,
+              bucket.hap_valid, bucket.sparsity, bucket.use_sparse)
+            # o_sel: [C, ch, S]
+            a_sel = jnp.take_along_axis(
+                su["a"], o_sel[:, :, :, None], axis=3
+            )[..., 0]
+            b_sel = jnp.take_along_axis(
+                su["b"], o_sel[:, :, :, None], axis=3
+            )[..., 0]
             # int32: exact, order-independent (see noise_chain)
             count_sum = count_sum + jnp.sum(
-                (a_sel * su["cv"][:, None]).astype(jnp.int32), axis=0
+                (a_sel * su["cv"][:, None, None]).astype(jnp.int32), axis=0
             )
             num_obs = num_obs + jnp.sum(
-                (b_sel * su["cv"][:, None]).astype(jnp.int32), axis=0
+                (b_sel * su["cv"][:, None, None]).astype(jnp.int32), axis=0
             )
             onehot = (
-                jnp.arange(su["num_outcomes"], dtype=jnp.int32)[None, None, :]
+                jnp.arange(su["num_outcomes"], dtype=jnp.int32)[
+                    None, None, None, :
+                ]
                 == o_sel[..., None]
             ).astype(jnp.int32)
             new_tally_list.append(tally + collect * onehot)
@@ -913,11 +996,15 @@ def joint_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
             count_sum = jax.lax.psum(count_sum, axis_name)
             num_obs = jax.lax.psum(num_obs, axis_name)
 
-        k_it = jax.random.fold_in(k_noise, t.astype(jnp.uint32))
         from ..ops.sampling import fixed_round_gamma
         shape = prior_shape + count_sum
         scale = prior_scale / (num_obs * prior_scale + 1.0)
-        new_rates = fixed_round_gamma(k_it, shape) * scale
+
+        def per_chain_rates(kn, sh):
+            k_it = jax.random.fold_in(kn, t.astype(jnp.uint32))
+            return fixed_round_gamma(k_it, sh)
+
+        new_rates = jax.vmap(per_chain_rates)(k_noise, shape) * scale
 
         return (
             tuple(new_freqs_list), new_rates, tuple(new_tally_list)
@@ -925,8 +1012,8 @@ def joint_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
 
     tally0 = tuple(
         jnp.zeros(
-            (su["bucket"].num_clusters, su["bucket"].num_samples,
-             su["num_outcomes"]),
+            (su["bucket"].num_clusters, num_chains,
+             su["bucket"].num_samples, su["num_outcomes"]),
             jnp.int32,
         )
         for su in setups
@@ -936,4 +1023,24 @@ def joint_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
         step, (freqs0_list, init_rates, tally0),
         jnp.arange(num_iters, dtype=jnp.int32),
     )
-    return tallies, tuple(su["w"][:, 0] for su in setups), trace
+    # trace: [iters, ch, S] -> [ch, iters, S]
+    return tallies, tuple(su["w"] for su in setups), jnp.transpose(
+        trace, (1, 0, 2)
+    )
+
+
+def joint_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
+                      outcomes_list, cfgs, chain_idx,
+                      axis_name: str | None = None):
+    """One joint chain over multiple size-class buckets — the single-chain
+    view of joint_chains_multi (identical RNG stream and results)."""
+    tallies, ws, trace = joint_chains_multi(
+        base_key, buckets, tables, init_rates[None], noise_prior,
+        outcomes_list, cfgs, num_chains=1, chain0=chain_idx,
+        axis_name=axis_name,
+    )
+    return (
+        tuple(t[:, 0] for t in tallies),
+        tuple(w[:, 0] for w in ws),
+        trace[0],
+    )
