@@ -602,6 +602,15 @@ def _needs_cap(fcs, cap: int) -> bool:
     )
 
 
+def _any_inter(fcs) -> bool:
+    """Static gate for the intercluster-multiplicity shift in the LL
+    precompute (a [C,S,M,K]-sized gather skipped when no kmer in the bucket
+    has a reference copy outside its cluster)."""
+    return any(
+        fc.inter_mult_female.any() or fc.inter_mult_male.any() for fc in fcs
+    )
+
+
 def gather_sample_counts(unit: InferenceUnitData, samples, num_threads: int = 1):
     """Stream each sample's KMC table and collect counts for member +
     parameter k-mers (parseSampleKmers, KmerCounter.cpp:388-524; the `-p`
@@ -786,43 +795,139 @@ class _UnitCounts:
         return self.rows[self.offs[i] : self.offs[i + 1]]
 
 
-def _cluster_to_dict(fc: FinalizedCluster, samples, ploidy_model, ucounts,
-                     rng):
-    """FinalizedCluster + counts -> the dict build_bucket consumes."""
-    from .model.buckets import greedy_minimum_cover
+def _build_bucket_batch(fcs, size_class, samples, ploidy_model, ucounts,
+                        rng):
+    """Vectorised FinalizedClusters + counts -> padded ClusterBucket.
 
-    c = ucounts.rows_for(fc)
+    Produces exactly what `build_bucket` over `_cluster_to_dict` dicts
+    produces (identical arrays, identical `rng` consumption order for the
+    per-cluster minimum covers) but assembles each field with a handful of
+    concatenate+scatter passes instead of a Python loop per cluster — the
+    per-bucket host build was ~half of the genotype phase's host time at
+    human scale.
+    """
+    from .model.buckets import (
+        ClusterBucket, _pack_member_bits, greedy_minimum_cover,
+    )
 
+    cap_c, cap_k, cap_h, cap_v = size_class
+    n = len(fcs)
+    assert n <= cap_c
     s = len(samples)
-    inter = np.zeros((len(fc.kmer_hi), s), dtype=np.uint8)
-    for si, sample in enumerate(samples):
-        inter[:, si] = (
-            fc.inter_mult_female if sample.gender == GENDER_FEMALE
-            else fc.inter_mult_male
+
+    lens = np.fromiter((len(fc.kmer_hi) for fc in fcs), np.int64, n)
+    total = int(lens.sum())
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    dest_c = np.repeat(np.arange(n, dtype=np.int64), lens)
+    dest_k = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
+
+    # observed counts: one gather from the unit-global rows
+    src = np.concatenate([
+        np.arange(ucounts.offs[i], ucounts.offs[i] + l, dtype=np.int64)
+        for i, l in (
+            (ucounts._index[fc.cluster_id], len(fc.kmer_hi)) for fc in fcs
         )
+    ]) if n else np.zeros(0, np.int64)
+    counts = np.zeros((cap_c, cap_k, s), np.uint8)
+    counts[dest_c, dest_k] = ucounts.rows[src]
 
-    # "kmer has a hash entry" (ctor non_zero_kmer_counts,
-    # VariantClusterGenotyper.cpp:90-98): observed in reads or intercluster
-    nonzero = (c > 0).any(axis=1) | (inter > 0).any(axis=1)
-    cover = greedy_minimum_cover(fc.mult, nonzero, rng)
+    # gender-resolved intercluster multiplicities
+    gf = np.fromiter(
+        (smp.gender == GENDER_FEMALE for smp in samples), bool, s
+    )
+    cat_f = np.concatenate([fc.inter_mult_female for fc in fcs]) if n else \
+        np.zeros(0, np.uint8)
+    cat_m = np.concatenate([fc.inter_mult_male for fc in fcs]) if n else \
+        np.zeros(0, np.uint8)
+    inter = np.zeros((cap_c, cap_k, s), np.uint8)
+    inter[dest_c, dest_k] = np.where(gf[None, :], cat_f[:, None],
+                                     cat_m[:, None])
 
-    v = len(fc.variants)
-    h = fc.hap_allele.shape[0]
-    member = np.transpose(fc.member, (0, 1, 2))  # [K, V, H] already
+    kmer_valid = np.zeros((cap_c, cap_k), bool)
+    kmer_valid[dest_c, dest_k] = True
 
-    return {
-        "mult": fc.mult,
-        "inter_mult": inter,
-        "counts": c,
-        "ploidy": ploidy_model.sample_ploidies(fc.chrom, samples),
-        "hap_allele": fc.hap_allele.astype(np.int16),  # [H, V]
-        "num_alleles": np.array(
-            [x.num_alleles for x in fc.variants], dtype=np.int16
-        ),
-        "member": member,
-        "cover": cover,
-        "cluster_id": fc.cluster_id,
-    }
+    # ragged-H fields: group clusters by their true (h, v) so each group is
+    # one concatenate + one scatter
+    mult = np.zeros((cap_c, cap_k, cap_h), np.uint8)
+    member_bool = np.zeros((cap_c, cap_k, cap_v, cap_h), bool)
+    hap_valid = np.zeros((cap_c, cap_h), bool)
+    hap_allele = np.zeros((cap_c, cap_h, cap_v), np.int16)
+    num_alleles = np.zeros((cap_c, cap_v), np.int16)
+    variant_valid = np.zeros((cap_c, cap_v), bool)
+
+    groups = defaultdict(list)
+    for i, fc in enumerate(fcs):
+        groups[(fc.hap_allele.shape[0], len(fc.variants))].append(i)
+    for (h, v), idxs in groups.items():
+        ia = np.asarray(idxs, np.int64)
+        sel = np.isin(dest_c, ia)
+        dc, dk = dest_c[sel], dest_k[sel]
+        mult[dc[:, None], dk[:, None], np.arange(h)[None, :]] = \
+            np.concatenate([fcs[i].mult for i in idxs])
+        member_bool[
+            dc[:, None, None], dk[:, None, None],
+            np.arange(v)[None, :, None], np.arange(h)[None, None, :]
+        ] = np.concatenate([fcs[i].member for i in idxs])
+        hap_valid[ia[:, None], np.arange(h)[None, :]] = True
+        hap_allele[ia[:, None, None], np.arange(h)[None, :, None],
+                   np.arange(v)[None, None, :]] = np.stack(
+            [fcs[i].hap_allele for i in idxs]
+        ).astype(np.int16)
+        num_alleles[ia[:, None], np.arange(v)[None, :]] = np.stack([
+            np.fromiter((x.num_alleles for x in fcs[i].variants), np.int64, v)
+            for i in idxs
+        ]).astype(np.int16)
+        variant_valid[ia[:, None], np.arange(v)[None, :]] = True
+
+    # ploidies: one lookup per chromosome, not per cluster
+    ploidy = np.zeros((cap_c, s), np.int8)
+    chrom_cache = {}
+    for i, fc in enumerate(fcs):
+        p = chrom_cache.get(fc.chrom)
+        if p is None:
+            p = ploidy_model.sample_ploidies(fc.chrom, samples)
+            chrom_cache[fc.chrom] = p
+        ploidy[i] = p
+
+    # minimum covers stay a per-cluster loop IN INPUT ORDER so the rng
+    # consumption matches the per-cluster builder exactly
+    nonzero_all = (counts > 0).any(axis=2) | (inter > 0).any(axis=2)
+    use_sparse = np.zeros((cap_c,), bool)
+    sparsity = np.full((cap_c,), 0.5, np.float32)
+    for i, fc in enumerate(fcs):
+        k_i = lens[i]
+        cover = greedy_minimum_cover(
+            fc.mult, nonzero_all[i, :k_i], rng
+        )
+        if len(cover) > 0:
+            use_sparse[i] = True
+            h = fc.hap_allele.shape[0]
+            sparsity[i] = min(
+                len(cover) / float(h), 1.0 - np.finfo(np.float64).eps * 100
+            )
+
+    cluster_id = np.zeros((cap_c,), np.int64)
+    cluster_id[:n] = np.fromiter((fc.cluster_id for fc in fcs), np.int64, n)
+    cluster_valid = np.zeros((cap_c,), bool)
+    cluster_valid[:n] = True
+
+    return ClusterBucket(
+        mult=mult,
+        inter_mult=inter,
+        counts=counts,
+        kmer_valid=kmer_valid,
+        hap_valid=hap_valid,
+        ploidy=ploidy,
+        hap_allele=hap_allele,
+        num_alleles=num_alleles,
+        variant_valid=variant_valid,
+        member=_pack_member_bits(member_bool),
+        use_sparse=use_sparse,
+        sparsity=sparsity,
+        cluster_id=cluster_id,
+        cluster_valid=cluster_valid,
+    )
 
 
 def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
@@ -834,7 +939,6 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     pools the sufficient statistics across classes (noise_chain_multi)."""
     import jax
     import jax.numpy as jnp
-    from .model.buckets import build_bucket
     from .model.gibbs import (
         GibbsConfig, make_outcome_space, noise_chains_multi,
     )
@@ -888,12 +992,8 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
         for start in range(0, len(cls_fcs), c_limit):
             fcs = cls_fcs[start : start + c_limit]
             c_pad = _pad_clusters(len(fcs), mesh)
-            dicts = [
-                _cluster_to_dict(fc, samples, ploidy_model, ucounts, rng)
-                for fc in fcs
-            ]
-            bucket = build_bucket(
-                dicts, (c_pad, k, h, v), len(samples)
+            bucket = _build_bucket_batch(
+                fcs, (c_pad, k, h, v), samples, ploidy_model, ucounts, rng
             ).device_arrays()
             if mesh is not None:
                 bucket, tables = _shard_for_mesh(bucket, tables, mesh)
@@ -906,6 +1006,7 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
                 max_total_mult=max_tot_cls,
                 max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
                 apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
+                has_inter=_any_inter(fcs),
             ))
     _log(f"Estimating noise from {num_vars} variants in {len(buckets)} "
          f"size classes")
@@ -999,7 +1100,6 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     """Full genotype phase -> final VCF. Returns summary stats."""
     import jax
     import jax.numpy as jnp
-    from .model.buckets import build_bucket
     from .model.count_model import fit_genomic_nb
     from .model.gibbs import GibbsConfig, genotype_bucket, make_outcome_space
     from .model.stats import FilterConfig, collect_bucket_stats
@@ -1099,6 +1199,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             max_total_mult=max_tot,
             max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
             apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
+            has_inter=_any_inter(fcs),
         )
         c_limit = _bucket_limit(opts, k, h, len(samples), max_tot,
                                 opts.num_chains)
@@ -1109,12 +1210,8 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
         for start in range(0, len(fcs), c_limit):
             chunk = fcs[start : start + c_limit]
             c_pad = _pad_clusters(len(chunk), mesh)
-            dicts = [
-                _cluster_to_dict(fc, samples, ploidy_model, ucounts, rng)
-                for fc in chunk
-            ]
-            bucket = build_bucket(
-                dicts, (c_pad, k, h, v), len(samples)
+            bucket = _build_bucket_batch(
+                chunk, (c_pad, k, h, v), samples, ploidy_model, ucounts, rng
             ).device_arrays()
             if mesh is not None:
                 bucket, tables = _shard_for_mesh(bucket, tables, mesh)
@@ -1159,7 +1256,6 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
     outcome with ploidy demotion (genotype_nested; the reference's
     VariantClusterGroup::runGibbsSample DAG recursion)."""
     import jax.numpy as jnp
-    from .model.buckets import build_bucket
     from .model.gibbs import (
         GibbsConfig, genotype_nested, make_outcome_space,
     )
@@ -1183,12 +1279,10 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
             for fc in fcs
         )
         c_pad = _pow2_at_least(len(fcs), 1)
-        dicts = [
-            _cluster_to_dict(fc, samples, ploidy_model, ucounts, rng)
-            for fc in fcs
-        ]
         buckets.append(
-            build_bucket(dicts, (c_pad, k, h, v), len(samples)).device_arrays()
+            _build_bucket_batch(
+                fcs, (c_pad, k, h, v), samples, ploidy_model, ucounts, rng
+            ).device_arrays()
         )
         outcomes_list.append(make_outcome_space(h))
         max_tot = _step_at_least(
@@ -1207,6 +1301,7 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
             max_total_mult=max_tot,
             max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
             apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
+            has_inter=_any_inter(fcs),
         ))
         caps_a.append(a)
         h_pads.append(h)
@@ -1421,7 +1516,6 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     longer inflates every cluster's padding."""
     import jax
     import jax.numpy as jnp
-    from .model.buckets import build_bucket
     from .model.gibbs import (
         GibbsConfig, joint_chains_multi, make_outcome_space,
     )
@@ -1468,12 +1562,8 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     class_fcs, buckets, outcomes_list, cfgs, caps_a = [], [], [], [], []
     for (h, k, v, a), cls_fcs in sorted(by_class.items()):
         c_pad = _pad_clusters(len(cls_fcs), mesh)
-        dicts = [
-            _cluster_to_dict(fc, samples, ploidy_model, ucounts, rng)
-            for fc in cls_fcs
-        ]
-        bucket = build_bucket(
-            dicts, (c_pad, k, h, v), len(samples)
+        bucket = _build_bucket_batch(
+            cls_fcs, (c_pad, k, h, v), samples, ploidy_model, ucounts, rng
         ).device_arrays()
         if mesh is not None:
             bucket, tables = _shard_for_mesh(bucket, tables, mesh)
@@ -1494,6 +1584,7 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
             max_total_mult=max_tot,
             max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
             apply_cap=_needs_cap(cls_fcs, opts.max_haplotype_variant_kmers),
+            has_inter=_any_inter(cls_fcs),
         ))
         caps_a.append(a)
     _log(f"Joint mode: {len(fcs)} clusters in {len(buckets)} size classes")

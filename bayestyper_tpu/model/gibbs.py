@@ -176,6 +176,11 @@ def _diplotype_multiplicities(bucket: ClusterBucket, outcomes: OutcomeSpace):
     return me[:, :, oa] + me[:, :, ob]
 
 
+# HBM budget for the gathered [C, K, S, O] table of the small-outcome LL
+# strategy; above it the per-multiplicity-class matmul loop is used instead
+_LL_GATHER_BYTES = 1 << 30
+
+
 def compute_log_likelihoods(
     bucket: ClusterBucket,
     outcomes: OutcomeSpace,
@@ -183,23 +188,39 @@ def compute_log_likelihoods(
     w,
     max_total_mult: int,
     include_noise_row: bool = True,
+    has_inter: bool = True,
 ):
     """Precompute LL[C, chains, S, O]: summed per-kmer count log-probs.
 
     LL[c,ch,s,o] = sum_k w[c,ch,k] * T_s[min(dip_mult[c,k,o] + inter[c,k,s], Mmax),
                                         counts[c,k,s]]
-    implemented as a fori_loop over multiplicity classes m', each step doing a
-    batched [chains*S, K] x [K, O] matmul against the indicator of
-    dip_mult == m' — MXU work instead of per-kmer gathers (the TPU analogue of
-    the reference's table-lookup loop, calcDiplotypeLogProb).
+
+    Two strategies (both MXU contractions; the TPU analogue of the
+    reference's table-lookup loop, calcDiplotypeLogProb):
+
+      * small outcome spaces (the bulk SNV/indel classes): gather the
+        per-kmer log-prob at each outcome's multiplicity ONCE into
+        Q~[C,K,S,O], then a single [ch,K] x [K,S*O] matmul per cluster. One
+        gather + one dot instead of max_total_mult materialised
+        [C,ch*S,K] operands (matmul inputs cannot be producer-fused on TPU,
+        so the per-class loop pays that materialisation every step).
+      * large outcome spaces: loop over multiplicity classes m', each step a
+        batched [chains*S, K] x [K, O] matmul against the indicator of
+        dip_mult == m' (Q~ would not fit).
 
     Args:
       tables: [S, M+1, 256] combined log-pmf tables (row 0 = noise).
       w: [C, chains, K] float/bool subsample masks.
       max_total_mult: static clamp for multiplicity rows (>= bucket max of
         dip_mult + inter); larger multiplicities clamp to this row.
-      include_noise_row: if False the m'=0 class contributes 0 (its noise
-        part is added separately per iteration in joint-noise mode).
+      include_noise_row: if False kmers with total multiplicity 0 contribute
+        0 (their noise part is added analytically per iteration in
+        joint-noise mode); kmers with dip_mult == 0 but inter_mult > 0 keep
+        their genomic NB(count | inter) term (the reference scores total
+        multiplicity dip + inter, getUniqueKmerMultiplicity,
+        VariantClusterHaplotypes.cpp:45-74).
+      has_inter: static hint that some inter_mult is nonzero; when False the
+        intercluster shift (a [C,S,M,K] gather) is skipped entirely.
     Returns LL with the null-outcome column zeroed (the reference scores the
     null outcome as log-prob 0, VariantClusterGenotyper.cpp:745).
     """
@@ -209,6 +230,45 @@ def compute_log_likelihoods(
     num_chains = w.shape[1]
     mmax = min(max_total_mult, tables.shape[1] - 1)
 
+    dip_mult = _diplotype_multiplicities(bucket, outcomes).astype(jnp.int32)
+    wf = w.astype(jnp.float32)
+
+    if c * k * s * o * 4 <= _LL_GATHER_BYTES:
+        # ---- gather strategy ----
+        # P[c,k,s,m] = tables[s, m, counts[c,k,s]]
+        t = tables[:, : mmax + 1, :]  # [S, M, 256]
+        p = jax.vmap(lambda ts, cs: jnp.take(ts, cs, axis=1))(
+            t, jnp.transpose(bucket.counts, (2, 0, 1))
+        )  # [S, M, C, K]
+        p = jnp.transpose(p, (2, 3, 0, 1)).astype(jnp.float32)  # [C,K,S,M]
+        if has_inter:
+            inter_ks = bucket.inter_mult.astype(jnp.int32)  # [C, K, S]
+            idx = jnp.minimum(
+                dip_mult[:, :, None, :] + inter_ks[:, :, :, None], mmax
+            )  # [C, K, S, O]
+        else:
+            idx = jnp.broadcast_to(
+                jnp.minimum(dip_mult, mmax)[:, :, None, :], (c, k, s, o)
+            )
+        qt = jnp.take_along_axis(p, idx, axis=3)  # [C, K, S, O]
+        if not include_noise_row:
+            if has_inter:
+                keep = (dip_mult[:, :, None, :] > 0) | (
+                    inter_ks[:, :, :, None] > 0
+                )
+            else:
+                keep = (dip_mult > 0)[:, :, None, :]
+            qt = jnp.where(keep, qt, 0.0)
+        ll = jnp.einsum(
+            "cxk,cky->cxy",
+            wf,
+            qt.reshape(c, k, s * o),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(c, num_chains, s, o)
+        return ll.at[..., -1].set(0.0)
+
+    # ---- multiplicity-class loop strategy ----
     # P[c,s,m,k] = tables[s, m, counts[c,k,s]] for m = 0..mmax
     counts_sk = jnp.transpose(bucket.counts, (2, 0, 1))  # [S, C, K]
     t = tables[:, : mmax + 1, :]  # [S, M, 256]
@@ -216,14 +276,16 @@ def compute_log_likelihoods(
     # p: [S, M, C, K] -> [C, S, M, K]
     p = jnp.transpose(p, (2, 0, 1, 3)).astype(jnp.float32)
 
-    # Q[c,s,m',k] = P[c,s,min(m' + inter[c,k,s], mmax), k]
     inter = jnp.transpose(bucket.inter_mult, (0, 2, 1)).astype(jnp.int32)  # [C,S,K]
-    mprime = jnp.arange(mmax + 1, dtype=jnp.int32)
-    q_idx = jnp.minimum(mprime[None, None, :, None] + inter[:, :, None, :], mmax)
-    q = jnp.take_along_axis(p, q_idx, axis=2)  # [C, S, M', K]
-
-    dip_mult = _diplotype_multiplicities(bucket, outcomes).astype(jnp.int32)
-    wf = w.astype(jnp.float32)
+    if has_inter:
+        # Q[c,s,m',k] = P[c,s,min(m' + inter[c,k,s], mmax), k]
+        mprime = jnp.arange(mmax + 1, dtype=jnp.int32)
+        q_idx = jnp.minimum(
+            mprime[None, None, :, None] + inter[:, :, None, :], mmax
+        )
+        q = jnp.take_along_axis(p, q_idx, axis=2)  # [C, S, M', K]
+    else:
+        q = p
 
     m_start = 0 if include_noise_row else 1
 
@@ -242,13 +304,9 @@ def compute_log_likelihoods(
     ll = jax.lax.fori_loop(
         m_start, mmax + 1, body, jnp.zeros((c, num_chains, s, o), jnp.float32)
     )
-    if not include_noise_row:
-        # Kmers with dip_mult == 0 but inter_mult > 0 still carry a genomic
-        # NB(count | inter) term — the reference scores total multiplicity
-        # dip + inter (getUniqueKmerMultiplicity,
-        # VariantClusterHaplotypes.cpp:45-74), so only true
-        # total-multiplicity-0 kmers belong to the analytic noise term added
-        # per iteration. q[:, :, 0, :] is already P at multiplicity
+    if not include_noise_row and has_inter:
+        # dip_mult == 0 but inter_mult > 0: genomic NB(count | inter) term
+        # (see docstring); q[:, :, 0, :] is already P at multiplicity
         # min(0 + inter, mmax); mask it to inter > 0.
         e0 = (dip_mult == 0).astype(jnp.float32)
         inter_pos = (inter > 0).astype(jnp.float32)  # [C, S, K]
@@ -274,7 +332,8 @@ def compute_log_likelihoods(
     return ll.at[..., -1].set(0.0)
 
 
-def compute_noise_terms(bucket: ClusterBucket, outcomes: OutcomeSpace, w):
+def compute_noise_terms(bucket: ClusterBucket, outcomes: OutcomeSpace, w,
+                        has_inter: bool = True):
     """Per-outcome noise sufficient-statistic constants A, B, C0: [C, ch, S, O].
 
     A = sum_k w * [total mult == 0] * count      (count_sum)
@@ -288,6 +347,11 @@ def compute_noise_terms(bucket: ClusterBucket, outcomes: OutcomeSpace, w):
     CountDistribution.cpp:349-352). Note the null outcome's A/B are real (the
     reference collects noise counts for null-ploidy samples too) while its
     likelihood contribution is masked by the caller.
+
+    All three statistics come out of ONE [C, ch*3*S, K] x [C, K, O] einsum:
+    they share the dip_mult==0 indicator operand, so fusing them saves two
+    materialisations of the broadcast left operand (HBM-bound at bulk-class
+    sizes). `has_inter=False` (static) skips the inter_mult==0 mask.
     """
     c, k, _ = bucket.mult.shape
     s = bucket.counts.shape[2]
@@ -295,27 +359,27 @@ def compute_noise_terms(bucket: ClusterBucket, outcomes: OutcomeSpace, w):
     num_chains = w.shape[1]
 
     dip_zero = _diplotype_multiplicities(bucket, outcomes) == 0  # [C, K, O]
-    inter_zero = bucket.inter_mult == 0  # [C, K, S]
     wf = w.astype(jnp.float32)
 
     counts_f = bucket.counts.astype(jnp.float32)
     lg = jax.lax.lgamma(counts_f + 1.0)
 
-    def per_sample(vals):
-        # vals: [C, K, S] -> [C, ch, S, O]
-        z = inter_zero.astype(jnp.float32)  # [C,K,S]
-        r = wf[:, :, None, :] * (vals * z).transpose(0, 2, 1)[:, None, :, :]
-        return jnp.einsum(
-            "cxk,cko->cxo",
-            r.reshape(c, num_chains * s, k),
-            dip_zero.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        ).reshape(c, num_chains, s, o)
+    # vals: [C, 3, S, K] = (count, 1, lgamma(count+1)) masked to inter == 0
+    vals = jnp.stack(
+        [counts_f, jnp.ones_like(counts_f), lg], axis=1
+    ).transpose(0, 1, 3, 2)  # [C, 3, S, K]
+    if has_inter:
+        inter_zero = (bucket.inter_mult == 0).astype(jnp.float32)  # [C,K,S]
+        vals = vals * inter_zero.transpose(0, 2, 1)[:, None, :, :]
 
-    a = per_sample(counts_f)
-    b = per_sample(jnp.ones_like(counts_f))
-    c0 = per_sample(lg)
-    return a, b, c0
+    r = wf[:, :, None, None, :] * vals[:, None]  # [C, ch, 3, S, K]
+    out = jnp.einsum(
+        "cxk,cko->cxo",
+        r.reshape(c, num_chains * 3 * s, k),
+        dip_zero.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(c, num_chains, 3, s, o)
+    return out[:, :, 0], out[:, :, 1], out[:, :, 2]
 
 
 def _sample_outcomes(key, logits):
@@ -364,6 +428,10 @@ class GibbsConfig:
     # scan costs O(K) sequential steps)
     max_haplotype_variant_kmers: int = 500
     apply_cap: bool = False
+    # static hint set by the host when some kmer in the bucket has a nonzero
+    # intercluster multiplicity; False skips the inter-shift gathers in the
+    # LL precompute (most buckets have no reference-copy kmers)
+    has_inter: bool = True
 
 
 def _subsample_with_cap(key, bucket, num_chains, cfg):
@@ -419,7 +487,8 @@ def genotype_bucket(base_key, bucket: ClusterBucket, tables, outcomes: OutcomeSp
     w = _subsample_with_cap(k_sub, bucket, cfg.num_chains, cfg)
 
     ll = compute_log_likelihoods(
-        bucket, outcomes, tables, w, cfg.max_total_mult, include_noise_row=True
+        bucket, outcomes, tables, w, cfg.max_total_mult,
+        include_noise_row=True, has_inter=cfg.has_inter,
     )
 
     osp = (
@@ -505,9 +574,10 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
     w = _subsample_with_cap(k_sub, bucket, 1, cfg)
 
     llg = compute_log_likelihoods(
-        bucket, outcomes, tables, w, cfg.max_total_mult, include_noise_row=False
+        bucket, outcomes, tables, w, cfg.max_total_mult,
+        include_noise_row=False, has_inter=cfg.has_inter,
     )[:, 0]  # [C, S, O]
-    a, b, c0 = compute_noise_terms(bucket, outcomes, w)
+    a, b, c0 = compute_noise_terms(bucket, outcomes, w, cfg.has_inter)
     a, b, c0 = a[:, 0], b[:, 0], c0[:, 0]  # [C, S, O]
     # the null outcome contributes no likelihood (but its A/B still feed the
     # noise statistics — getNoiseCounts runs for null-ploidy samples too)
@@ -617,7 +687,7 @@ def genotype_nested(base_key, buckets, parent_rows, retain_tables, tables,
         w = _subsample_with_cap(k_sub, bucket, num_chains, cfg)
         ll = compute_log_likelihoods(
             bucket, outcomes, tables, w, cfg.max_total_mult,
-            include_noise_row=True,
+            include_noise_row=True, has_inter=cfg.has_inter,
         )
         osp = (
             jnp.asarray(outcomes.oa),
@@ -751,9 +821,9 @@ def noise_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
         # contraction carries the chain axis
         llg = compute_log_likelihoods(
             bucket, outcomes, tables, w, cfg.max_total_mult,
-            include_noise_row=False,
+            include_noise_row=False, has_inter=cfg.has_inter,
         )  # [C, ch, S, O]
-        a, b, c0 = compute_noise_terms(bucket, outcomes, w)  # [C, ch, S, O]
+        a, b, c0 = compute_noise_terms(bucket, outcomes, w, cfg.has_inter)
         ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
         osp = (
             jnp.asarray(outcomes.oa),
@@ -912,9 +982,9 @@ def joint_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
         w = jnp.transpose(w_ch, (1, 0, 2))  # [C, ch, K]
         llg = compute_log_likelihoods(
             bucket, outcomes, tables, w, cfg.max_total_mult,
-            include_noise_row=False,
+            include_noise_row=False, has_inter=cfg.has_inter,
         )  # [C, ch, S, O]
-        a, b, c0 = compute_noise_terms(bucket, outcomes, w)
+        a, b, c0 = compute_noise_terms(bucket, outcomes, w, cfg.has_inter)
         ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
         osp = (
             jnp.asarray(outcomes.oa),
