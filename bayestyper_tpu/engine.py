@@ -326,9 +326,11 @@ def _run_cluster_phase_impl(
                            len(compiled))
         offs = np.zeros(len(compiled) + 1, np.int64)
         np.cumsum(lens, out=offs[1:])
-        member_any_all = np.concatenate(
-            [c.member.any(axis=(1, 2)) for c in compiled]
-        )
+        member_any_all = np.concatenate([
+            c.member_any if c.member_any is not None
+            else c.member.any(axis=(1, 2))
+            for c in compiled
+        ])
 
         from . import native
 
@@ -448,35 +450,53 @@ def _run_cluster_phase_impl(
 
     # 5. finalise clusters: keep member kmers that are not excluded
     # (isExcluded = decoy | max-mult | multigroup, KmerCounts.cpp:93-96).
-    # All lookups were precomputed globally in step 3 (midx_all slices);
-    # the loop only slices and packs.
+    # Everything is vectorised into global passes — keep flags
+    # (has_max_multiplicity, KmerCounts.cpp:153-158: genome occurrences plus
+    # the cluster's max path multiplicity overflowing 127), per-cluster kept
+    # counts and the gender multiplicity gathers; the Python loop only
+    # slices views and packs dataclasses.
+    if compiled:
+        mult_max_all = np.concatenate([
+            c.mult_max if c.mult_max is not None
+            else c.mult.max(axis=1, initial=0)
+            for c in compiled
+        ])
+        total_mult_all = occ_count[midx_all] + mult_max_all.astype(np.int64)
+        keep_all = (
+            member_any_all
+            & ~ex_multi_all
+            & ~decoy_hit[midx_all]
+            & (total_mult_all <= MAX_HAPLOID_MULTIPLICITY)
+        )
+        inter_f_u8 = np.minimum(inter_f[midx_all], 255).astype(np.uint8)
+        inter_m_u8 = np.minimum(inter_m[midx_all], 255).astype(np.uint8)
+        cs = np.zeros(len(keep_all) + 1, np.int64)
+        np.cumsum(keep_all, out=cs[1:])
+        kept_per = cs[offs[1:]] - cs[offs[:-1]]
     final = []
     for i, c in enumerate(compiled):
         sl = slice(offs[i], offs[i + 1])
-        member_any = member_any_all[sl]
-        ex_multi = ex_multi_all[sl]
-        midx = midx_all[sl]
-        ex_decoy = decoy_hit[midx]
-        # has_max_multiplicity (KmerCounts.cpp:153-158): genome occurrences
-        # plus the cluster's max path multiplicity overflowing 127 excludes
-        # hyper-repetitive kmers from genotyping
-        total_mult = occ_count[midx] + c.mult.max(axis=1).astype(np.int64)
-        ex_maxmult = total_mult > MAX_HAPLOID_MULTIPLICITY
-        keep = member_any & ~ex_multi & ~ex_decoy & ~ex_maxmult
-        keep = _cap_haplotype_variant_kmers(c, keep, rng)
-        if keep.all():
+        n_k = offs[i + 1] - offs[i]
+        keep = keep_all[sl]
+        if n_k > _KMER_POOL_CAP:
+            # giant-cluster pool cap (consumes rng only when it can bind)
+            keep = _cap_haplotype_variant_kmers(c, keep, rng)
+            all_kept = bool(keep.all())
+        else:
+            all_kept = kept_per[i] == n_k
+        if all_kept:
             # common case: nothing excluded — reuse the compiled arrays
             kmer_hi, kmer_lo = c.kmer_hi, c.kmer_lo
             mult, member = c.mult, c.member
-            inter_f_c = inter_f[midx]
-            inter_m_c = inter_m[midx]
+            inter_f_c = inter_f_u8[sl]
+            inter_m_c = inter_m_u8[sl]
             num_excluded = 0
         else:
             kmer_hi, kmer_lo = c.kmer_hi[keep], c.kmer_lo[keep]
             mult, member = c.mult[keep], c.member[keep]
-            inter_f_c = inter_f[midx][keep]
-            inter_m_c = inter_m[midx][keep]
-            num_excluded = int((member_any & ~keep).sum())
+            inter_f_c = inter_f_u8[sl][keep]
+            inter_m_c = inter_m_u8[sl][keep]
+            num_excluded = int((member_any_all[sl] & ~keep).sum())
         final.append(
             FinalizedCluster(
                 cluster_id=c.cluster_id,
@@ -487,8 +507,8 @@ def _run_cluster_phase_impl(
                 kmer_lo=kmer_lo,
                 mult=mult,
                 member=member,
-                inter_mult_female=np.minimum(inter_f_c, 255).astype(np.uint8),
-                inter_mult_male=np.minimum(inter_m_c, 255).astype(np.uint8),
+                inter_mult_female=inter_f_c,
+                inter_mult_male=inter_m_c,
                 non_covered_alleles=c.non_covered_alleles,
                 num_excluded=num_excluded,
                 group_id=c.group_id,
@@ -1780,8 +1800,14 @@ def concat_vcfs(paths, out_path):
     return n
 
 
+# compile-time kmer pool cap: 10x max-haplotype-variant-kmers (the Bernoulli
+# subsampling rate is 0.1, so the expected per-chain subset matches the
+# reference's 500 cap); clusters at or below it can never trigger the cap
+_KMER_POOL_CAP = 10 * 500
+
+
 def _cap_haplotype_variant_kmers(compiled_cluster, keep, rng,
-                                 cap: int = 10 * 500):
+                                 cap: int = _KMER_POOL_CAP):
     # (pool cap; the exact per-chain 500-cap is applied on device by
     # gibbs.apply_kmer_cap in shuffled order after the Bernoulli draw)
     """Bound the k-mer pool per (haplotype, variant) for giant clusters.

@@ -393,6 +393,13 @@ def _compile_chunk(pathsets, clusters, kmer_size, out):
                 eidx = base + incr
                 member_flat[urow[eidx], vi_arr[rep], hap_arr[rep]] = True
 
+    # ---- chunk-level reductions consumed by finalise (single vectorised
+    # passes instead of one small numpy reduction per cluster) ----
+    # The missing-allele redirect below only ever copies Trues from another
+    # column of the same row, so member_any is already final here.
+    chunk_member_any = member_flat.any(axis=(1, 2))
+    chunk_mult_max = mult_flat.max(axis=1)
+
     # ---- per-cluster assembly (views into the chunk arrays; the finalise
     # step copies only when exclusions bind) ----
     hap_cache = {}   # h -> shared [h, 1] identity hap_allele (fast clusters)
@@ -472,4 +479,6 @@ def _compile_chunk(pathsets, clusters, kmer_size, out):
             children_ids=list(cl.children_ids),
             depth=cl.depth,
             retains=retains,
+            member_any=chunk_member_any[a0:a1],
+            mult_max=chunk_mult_max[a0:a1],
         )

@@ -77,6 +77,11 @@ class CompiledCluster:
     depth: int = 0
     retains: np.ndarray | None = None  # [H, n_children] bool: haplotype keeps
                                   # the nested child region (no demotion)
+    # arena-level precomputes (views into the batch compiler's chunk arrays;
+    # None when compiled one-at-a-time) — finalise consumes them so it never
+    # reduces per-cluster tensors in a Python loop
+    member_any: np.ndarray | None = None  # [K] bool: member.any(axis=(1,2))
+    mult_max: np.ndarray | None = None    # [K] uint8: mult.max(axis=1)
 
 
 def mark_dependencies(variants):
