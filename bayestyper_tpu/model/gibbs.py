@@ -234,23 +234,44 @@ def compute_log_likelihoods(
     wf = w.astype(jnp.float32)
 
     if c * k * s * o * 4 <= _LL_GATHER_BYTES:
-        # ---- gather strategy ----
+        # ---- small-outcome strategy ----
+        # All table selections are ONE-HOT MXU CONTRACTIONS, not gathers:
+        # take_along_axis lowers to a serialized per-element gather on TPU
+        # (measured 18x slower than the equivalent one-hot matmul at bulk
+        # SNV-class shapes). A dot with a single nonzero one-hot term is
+        # bit-exact: HIGHEST precision splits f32 into bf16 triples whose
+        # sum reconstructs the operand exactly.
         # P[c,k,s,m] = tables[s, m, counts[c,k,s]]
-        t = tables[:, : mmax + 1, :]  # [S, M, 256]
-        p = jax.vmap(lambda ts, cs: jnp.take(ts, cs, axis=1))(
-            t, jnp.transpose(bucket.counts, (2, 0, 1))
-        )  # [S, M, C, K]
-        p = jnp.transpose(p, (2, 3, 0, 1)).astype(jnp.float32)  # [C,K,S,M]
+        t = tables[:, : mmax + 1, :].astype(jnp.float32)  # [S, M, 256]
+        p = jnp.einsum(
+            "cksq,smq->cksm",
+            jax.nn.one_hot(bucket.counts, 256, dtype=jnp.bfloat16),
+            t,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [C, K, S, M]
         if has_inter:
             inter_ks = bucket.inter_mult.astype(jnp.int32)  # [C, K, S]
             idx = jnp.minimum(
                 dip_mult[:, :, None, :] + inter_ks[:, :, :, None], mmax
             )  # [C, K, S, O]
-        else:
-            idx = jnp.broadcast_to(
-                jnp.minimum(dip_mult, mmax)[:, :, None, :], (c, k, s, o)
+            # qt[c,k,s,o] = p[c,k,s,idx]
+            qt = jnp.einsum(
+                "cksm,cksom->ckso",
+                p,
+                jax.nn.one_hot(idx, mmax + 1, dtype=jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-        qt = jnp.take_along_axis(p, idx, axis=3)  # [C, K, S, O]
+        else:
+            idx = jnp.minimum(dip_mult, mmax)  # [C, K, O]
+            qt = jnp.einsum(
+                "cksm,ckom->ckso",
+                p,
+                jax.nn.one_hot(idx, mmax + 1, dtype=jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         if not include_noise_row:
             if has_inter:
                 keep = (dip_mult[:, :, None, :] > 0) | (
@@ -269,28 +290,39 @@ def compute_log_likelihoods(
         return ll.at[..., -1].set(0.0)
 
     # ---- multiplicity-class loop strategy ----
-    # P[c,s,m,k] = tables[s, m, counts[c,k,s]] for m = 0..mmax
-    counts_sk = jnp.transpose(bucket.counts, (2, 0, 1))  # [S, C, K]
-    t = tables[:, : mmax + 1, :]  # [S, M, 256]
-    p = jax.vmap(lambda ts, cs: jnp.take(ts, cs, axis=1))(t, counts_sk)
-    # p: [S, M, C, K] -> [C, S, M, K]
-    p = jnp.transpose(p, (2, 0, 1, 3)).astype(jnp.float32)
+    # P[c,s,m,k] = tables[s, m, counts[c,k,s]] — a one-hot MXU contraction
+    # (see the small-outcome strategy note: gathers serialize on TPU)
+    t = tables[:, : mmax + 1, :].astype(jnp.float32)  # [S, M, 256]
+    p = jnp.einsum(
+        "cksq,smq->csmk",
+        jax.nn.one_hot(bucket.counts, 256, dtype=jnp.bfloat16),
+        t,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [C, S, M, K]
 
     inter = jnp.transpose(bucket.inter_mult, (0, 2, 1)).astype(jnp.int32)  # [C,S,K]
     if has_inter:
-        # Q[c,s,m',k] = P[c,s,min(m' + inter[c,k,s], mmax), k]
+        # Q[c,s,m',k] = P[c,s,min(m' + inter[c,k,s], mmax), k] via one-hot
         mprime = jnp.arange(mmax + 1, dtype=jnp.int32)
         q_idx = jnp.minimum(
             mprime[None, None, :, None] + inter[:, :, None, :], mmax
+        )  # [C, S, M', K]
+        q = jnp.einsum(
+            "csmk,csnkm->csnk",
+            p,
+            jax.nn.one_hot(q_idx, mmax + 1, dtype=jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        q = jnp.take_along_axis(p, q_idx, axis=2)  # [C, S, M', K]
     else:
         q = p
 
     m_start = 0 if include_noise_row else 1
 
     def body(m, ll):
-        e = (dip_mult == m).astype(jnp.float32)  # [C, K, O]
+        # bf16 indicator: exact 0/1 operand at half the HBM traffic of f32
+        e = (dip_mult == m).astype(jnp.bfloat16)  # [C, K, O]
         r = wf[:, :, None, :] * q[:, None, :, m, :]  # [C, ch, S, K]
         contrib = jnp.einsum(
             "cxk,cko->cxo",
@@ -308,7 +340,7 @@ def compute_log_likelihoods(
         # dip_mult == 0 but inter_mult > 0: genomic NB(count | inter) term
         # (see docstring); q[:, :, 0, :] is already P at multiplicity
         # min(0 + inter, mmax); mask it to inter > 0.
-        e0 = (dip_mult == 0).astype(jnp.float32)
+        e0 = (dip_mult == 0).astype(jnp.bfloat16)
         inter_pos = (inter > 0).astype(jnp.float32)  # [C, S, K]
         r0 = wf[:, :, None, :] * (q[:, :, 0, :] * inter_pos)[:, None, :, :]
         contrib0 = jnp.einsum(
@@ -320,7 +352,7 @@ def compute_log_likelihoods(
         )
         ll = ll + contrib0.reshape(c, num_chains, s, o)
     # Clamped multiplicity classes > mmax all share row mmax: fold them in.
-    e_over = (dip_mult > mmax).astype(jnp.float32)
+    e_over = (dip_mult > mmax).astype(jnp.bfloat16)
     r = wf[:, :, None, :] * q[:, None, :, mmax, :]
     over = jnp.einsum(
         "cxk,cko->cxo", r.reshape(c, num_chains * s, k), e_over,
@@ -376,8 +408,9 @@ def compute_noise_terms(bucket: ClusterBucket, outcomes: OutcomeSpace, w,
     out = jnp.einsum(
         "cxk,cko->cxo",
         r.reshape(c, num_chains * 3 * s, k),
-        dip_zero.astype(jnp.float32),
+        dip_zero.astype(jnp.bfloat16),  # exact 0/1, half the HBM traffic
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(c, num_chains, 3, s, o)
     return out[:, :, 0], out[:, :, 1], out[:, :, 2]
 
@@ -386,6 +419,22 @@ def _sample_outcomes(key, logits):
     # one batched Gumbel draw for all samples (independent per (s, o))
     g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
     return jnp.argmax(logits + g, axis=-1)
+
+
+# outcome-selection strategy threshold: a masked one-hot reduction costs O
+# elements per output and vectorizes on the VPU; a gather costs ~15ns per
+# OUTPUT element on TPU (serialized) regardless of O — so one-hot wins for
+# small outcome spaces (the per-iteration noise-stat selection runs 350x)
+_SELECT_ONEHOT_MAX_O = 256
+
+
+def _select_outcome(vals, o_sel):
+    """vals[..., O] at o_sel[...]: bit-exact TPU-friendly selection."""
+    o = vals.shape[-1]
+    if o <= _SELECT_ONEHOT_MAX_O:
+        oh = jnp.arange(o, dtype=jnp.int32) == o_sel[..., None]
+        return jnp.sum(jnp.where(oh, vals, 0), axis=-1)
+    return jnp.take_along_axis(vals, o_sel[..., None], axis=-1)[..., 0]
 
 
 def _gibbs_iteration(key, freqs, ll, ploidy, hap_valid, sparsity, use_sparse, osp):
@@ -618,9 +667,8 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
             bucket.sparsity, bucket.use_sparse,
         )
 
-        sel = o_sel  # [C, S]
-        a_sel = jnp.take_along_axis(a, sel[:, :, None], axis=2)[..., 0]
-        b_sel = jnp.take_along_axis(b, sel[:, :, None], axis=2)[..., 0]
+        a_sel = _select_outcome(a, o_sel)  # [C, S]
+        b_sel = _select_outcome(b, o_sel)
         # A/B are integer-valued (0/1-weighted uint8 count sums), so an int32
         # reduction is exact and independent of summation/sharding order —
         # this is what makes noise rates bit-identical for any chip count
@@ -876,12 +924,8 @@ def noise_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
             )(su["cluster_keys"], freqs, ll, bucket.ploidy,
               bucket.hap_valid, bucket.sparsity, bucket.use_sparse)
             # o_sel: [C, ch, S]
-            a_sel = jnp.take_along_axis(
-                su["a"], o_sel[:, :, :, None], axis=3
-            )[..., 0]
-            b_sel = jnp.take_along_axis(
-                su["b"], o_sel[:, :, :, None], axis=3
-            )[..., 0]
+            a_sel = _select_outcome(su["a"], o_sel)
+            b_sel = _select_outcome(su["b"], o_sel)
             # int32: exact, order-independent (see noise_chain)
             count_sum = count_sum + jnp.sum(
                 (a_sel * su["cv"][:, None, None]).astype(jnp.int32), axis=0
@@ -1040,12 +1084,8 @@ def joint_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
             )(su["cluster_keys"], freqs, ll, bucket.ploidy,
               bucket.hap_valid, bucket.sparsity, bucket.use_sparse)
             # o_sel: [C, ch, S]
-            a_sel = jnp.take_along_axis(
-                su["a"], o_sel[:, :, :, None], axis=3
-            )[..., 0]
-            b_sel = jnp.take_along_axis(
-                su["b"], o_sel[:, :, :, None], axis=3
-            )[..., 0]
+            a_sel = _select_outcome(su["a"], o_sel)
+            b_sel = _select_outcome(su["b"], o_sel)
             # int32: exact, order-independent (see noise_chain)
             count_sum = count_sum + jnp.sum(
                 (a_sel * su["cv"][:, None, None]).astype(jnp.int32), axis=0

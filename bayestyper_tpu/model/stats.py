@@ -173,10 +173,18 @@ def collect_bucket_stats(
     ).astype(jnp.int32)                           # [C, K, H+1]
     sel_a_h = oa[sel_o]                           # [C, S, T]
     sel_b_h = ob[sel_o]
-    dip_sel = (
-        jnp.take_along_axis(me, sel_a_h[:, None, :, :].reshape(c, 1, s * mac_top_t), axis=2)
-        + jnp.take_along_axis(me, sel_b_h[:, None, :, :].reshape(c, 1, s * mac_top_t), axis=2)
-    ).reshape(c, k, s, mac_top_t)                 # [C, K, S, T]
+    # dynamic-index gathers with K-sized outputs serialize on TPU
+    # (~15ns/element); select via one-hot contractions instead — me <= 255
+    # and one-hot 0/1 are exact in bf16, so the result is bit-identical
+    oh_ab = (
+        jax.nn.one_hot(sel_a_h, h + 1, dtype=jnp.bfloat16)
+        + jax.nn.one_hot(sel_b_h, h + 1, dtype=jnp.bfloat16)
+    )                                             # [C, S, T, H+1]
+    dip_sel = jnp.einsum(
+        "ckh,csth->ckst", me.astype(jnp.bfloat16), oh_ab,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)                           # [C, K, S, T]
     inter_i = bucket.inter_mult.astype(jnp.int32)  # [C, K, S]
     mult_tot_sel = dip_sel + inter_i[:, :, :, None]
     val_sel = bucket.counts.astype(jnp.float32)[:, :, :, None] / jnp.maximum(
@@ -329,14 +337,21 @@ def collect_bucket_stats(
             fak = jnp.where(sub, fak_m[:, :, None], fak)
 
         # ---- MAC over top-T outcomes ----
-        memb_sel_a = jnp.take_along_axis(
-            memb, sel_a_h.reshape(c, 1, s * mac_top_t) % h, axis=2
-        ).reshape(c, k, s, mac_top_t)
-        memb_sel_a = memb_sel_a & (sel_a_h[:, None] < h)
-        memb_sel_b = jnp.take_along_axis(
-            memb, sel_b_h.reshape(c, 1, s * mac_top_t) % h, axis=2
-        ).reshape(c, k, s, mac_top_t)
-        memb_sel_b = memb_sel_b & (sel_b_h[:, None] < h)
+        # one-hot selection (see dip_sel note); jax.nn.one_hot emits an
+        # all-zero row for out-of-range indices, which covers the sentinel
+        # haplotype (sel >= h) for free
+        memb_sel_a = jnp.einsum(
+            "ckh,csth->ckst", memb.astype(jnp.bfloat16),
+            jax.nn.one_hot(sel_a_h, h, dtype=jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                         # [C,K,S,T]
+        memb_sel_b = jnp.einsum(
+            "ckh,csth->ckst", memb.astype(jnp.bfloat16),
+            jax.nn.one_hot(sel_b_h, h, dtype=jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
         mn_a = jnp.einsum(
             "chk,ckst->chst", wf, val_sel * memb_sel_a

@@ -56,11 +56,13 @@ def fixed_round_gamma(key, alpha, rounds: int = 6):
         jnp.log(us) < 0.5 * xs * xs + d[None] - d[None] * v
         + d[None] * jnp.log(jnp.where(v > 0, v, 1.0))
     )
-    # first accepted round per element
-    first = jnp.argmax(ok, axis=0)
+    # first accepted round per element, selected by a cumulative mask —
+    # NOT take_along_axis, which lowers to a serialized gather on TPU and
+    # dominated the whole Gibbs iteration (measured 60% of the scan step)
     any_ok = ok.any(axis=0)
+    is_first = ok & (jnp.cumsum(ok.astype(jnp.int32), axis=0) == 1)
     dv = d[None] * v
-    sample = jnp.take_along_axis(dv, first[None], axis=0)[0]
+    sample = jnp.sum(jnp.where(is_first, dv, 0.0), axis=0)
     sample = jnp.where(any_ok, sample, a_eff)  # mean fallback (p < 1e-8)
 
     boost = jax.random.uniform(k_boost, alpha.shape, minval=1e-12) ** (
