@@ -266,21 +266,30 @@ def collect_bucket_stats(
             [fr_sum, jnp.zeros((c, num_chains, s, 1))], axis=3
         )
 
-        n_at_a = jnp.take_along_axis(
-            n_ext, oa[None, None, :].astype(jnp.int32) * jnp.ones((c, num_chains, 1), jnp.int32), axis=2
+        # broadcast to outcomes via constant one-hot matmuls — these gathers
+        # at O x chains x S output sizes serialized on TPU and were ~16 of
+        # the 17 seconds of the H64-class stats pass
+        oh_oa = jax.nn.one_hot(oa, h + 1, dtype=jnp.bfloat16)     # [O, H+1]
+        oh_ob = jax.nn.one_hot(ob, h + 1, dtype=jnp.bfloat16)
+        n_at_a = jnp.einsum(
+            "cxh,oh->cxo", n_ext, oh_oa,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                         # [C, ch, O]
-        n_at_b = jnp.take_along_axis(
-            n_ext, ob[None, None, :].astype(jnp.int32) * jnp.ones((c, num_chains, 1), jnp.int32), axis=2
+        n_at_b = jnp.einsum(
+            "cxh,oh->cxo", n_ext, oh_ob,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        fr_at_a = jnp.take_along_axis(
-            fr_ext,
-            (oa[None, None, None, :] * jnp.ones((c, num_chains, s, 1), jnp.int32)),
-            axis=3,
+        fr_at_a = jnp.einsum(
+            "cxsh,oh->cxso", fr_ext, oh_oa,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                         # [C, ch, S, O]
-        fr_at_b = jnp.take_along_axis(
-            fr_ext,
-            (ob[None, None, None, :] * jnp.ones((c, num_chains, s, 1), jnp.int32)),
-            axis=3,
+        fr_at_b = jnp.einsum(
+            "cxsh,oh->cxso", fr_ext, oh_ob,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
         # slot validity per sample: slot a on every outcome (null-chrom
