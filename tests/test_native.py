@@ -57,12 +57,24 @@ def test_native_speedup():
     codes, valid = encode_bases(seq)
     import time
 
-    t0 = time.perf_counter()
+    # best-of-3 per side: this VM sees ±20-40% host steal, so a single
+    # wall-clock pair is too noisy to compare
+    t_np = min(
+        _timed(lambda: kmer_lanes(codes, valid, 55)) for _ in range(3)
+    )
+    t_na = min(
+        _timed(lambda: native.kmer_lanes(codes, valid, 55)) for _ in range(3)
+    )
     hi1, lo1, ok1 = kmer_lanes(codes, valid, 55)
-    t_np = time.perf_counter() - t0
-    t0 = time.perf_counter()
     hi2, lo2, ok2 = native.kmer_lanes(codes, valid, 55)
-    t_na = time.perf_counter() - t0
     np.testing.assert_array_equal(hi1, hi2)
     print(f"numpy {t_np:.3f}s native {t_na:.3f}s ({t_np / t_na:.1f}x)")
     assert t_na < t_np * 2  # native should not be slower
+
+
+def _timed(fn):
+    import time
+
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
