@@ -39,6 +39,7 @@ from .constants import (
     NOISE_RATE_PRIOR_SHAPE,
     NUM_GIBBS_CHAINS,
     GENDER_FEMALE,
+    MISSING,
 )
 from .graph.clustering import (
     cluster_variants,
@@ -1487,6 +1488,147 @@ def _emit_records(writer, chunk, stats, samples, ploidy_model):
 
 
 def _emit_records_host(writer, chunk, stats, samples, ploidy_model):
+    from . import native
+
+    if native.available() and chunk:
+        return _emit_records_batch(writer, chunk, stats, samples,
+                                   ploidy_model)
+    return _emit_records_pyloop(writer, chunk, stats, samples, ploidy_model)
+
+
+def _emit_records_batch(writer, chunk, stats, samples, ploidy_model):
+    """Render a whole stats chunk in batch: numpy site statistics
+    (getGenotypeVariantStats, VariantClusterGenotyper.cpp:470-526) + the
+    native per-sample FORMAT renderer — byte-identical to the per-record
+    path, ~20x faster (the Python f"{x:.6g}" per cell dominated the writer
+    thread)."""
+    from . import native
+    from .writer import fmt_g, phred_cap99
+
+    rows = [
+        (ci, vi)
+        for ci, fc in enumerate(chunk)
+        for vi in range(len(fc.variants))
+    ]
+    n = len(rows)
+    ci_r = np.fromiter((r[0] for r in rows), np.int64, n)
+    vi_r = np.fromiter((r[1] for r in rows), np.int64, n)
+    gt = np.asarray(stats.gt)[ci_r, :, vi_r]        # [N, S, 2]
+    gq = np.asarray(stats.gq)[ci_r, :, vi_r]        # [N, S]
+    gpp = np.asarray(stats.gpp)[ci_r, :, vi_r]      # [N, S, G]
+    app = np.asarray(stats.app)[ci_r, :, vi_r]      # [N, S, A]
+    nak = np.asarray(stats.nak)[ci_r, :, vi_r]
+    fak = np.asarray(stats.fak)[ci_r, :, vi_r]
+    mac = np.asarray(stats.mac)[ci_r, :, vi_r]
+    saf = np.asarray(stats.saf)[ci_r, :, vi_r]
+    s_count = gt.shape[1]
+    a_max = app.shape[2]
+
+    variants = [chunk[ci].variants[vi] for ci, vi in rows]
+    na = np.fromiter((v.num_alleles for v in variants), np.int32, n)
+    has_dep = np.fromiter((v.has_dependency for v in variants), bool, n)
+
+    chrom_cache = {}
+    ploidy = np.empty((n, s_count), np.int8)
+    for i, (ci, vi) in enumerate(rows):
+        chrom = chunk[ci].chrom
+        p = chrom_cache.get(chrom)
+        if p is None:
+            p = np.asarray(
+                ploidy_model.sample_ploidies(chrom, samples), np.int8
+            )
+            chrom_cache[chrom] = p
+        ploidy[i] = p
+
+    tails = native.render_samples(
+        ploidy, gt, gq, gpp, app, nak, fak, mac, saf, na
+    )
+
+    # vectorised variant stats over called genotypes
+    an = (gt != MISSING).sum(axis=(1, 2))                       # [N]
+    vals = gt.reshape(n, -1)
+    ac = np.zeros((n, a_max), np.int64)
+    r_i, c_i = np.nonzero(vals > 0)
+    np.add.at(ac, (r_i, vals[r_i, c_i]), 1)
+    acp = np.where((saf == 0) & (app > 0), app, 0).max(axis=1)  # [N, A]
+    n_alts = na - 1 - has_dep
+    a_idx = np.arange(a_max)
+    alt_sel = (a_idx[None, :] >= 1) & (a_idx[None, :] <= n_alts[:, None])
+    max_alt_acp = np.where(alt_sel, acp, 0).max(axis=1)
+
+    genome = writer.genome
+    prev_chrom = None
+    seq = None
+    for i, (ci, vi) in enumerate(rows):
+        fc = chunk[ci]
+        var = variants[i]
+        na_i = int(na[i])
+        pos1 = var.pos + 1
+        if fc.chrom != prev_chrom:
+            prev_chrom = fc.chrom
+            try:
+                seq = genome[fc.chrom]
+            except KeyError:
+                seq = None
+        # REF reconstituted from the genome (GenotypeWriter.cpp:477)
+        if seq is not None:
+            ref = seq[var.pos : var.pos + len(var.ref)]
+            ref = ref.decode() if isinstance(ref, bytes) else str(ref)
+        else:
+            ref = var.ref
+        total = int(an[i])
+        qual = phred_cap99(float(max_alt_acp[i]))
+        filt = "AN0" if total == 0 else "PASS"
+        alt_counts = ac[i, 1:na_i]
+        af = alt_counts / total if total > 0 else np.zeros(na_i - 1)
+        alts = list(var.alts)
+        if var.has_dependency:
+            alts.append("*")
+        if var.origins:
+            aco = ",".join(
+                o if o not in ("", None) else "." for o in var.origins
+            )
+        else:
+            aco = ",".join(["."] * len(var.alts))
+        if var.has_dependency:
+            aco += ",."
+        region = _cluster_region_cache(fc)
+        info = (
+            f"AC={','.join(map(str, alt_counts))}"
+            f";AF={','.join(fmt_g(x) for x in af)}"
+            f";AN={total}"
+            f";ACP={','.join(fmt_g(x) for x in acp[i, :na_i])}"
+            f";VCS={len(fc.variants)};VCR={region}"
+            f";VCGS={getattr(fc, 'group_size', 1)}"
+            f";VCGR={getattr(fc, 'group_region', '') or region}"
+            f";HC={fc.hap_allele.shape[0]}"
+        )
+        if fc.non_covered_alleles[vi]:
+            info += (
+                ";ANC="
+                + ",".join(map(str, sorted(fc.non_covered_alleles[vi])))
+            )
+        info += f";ACO={aco}"
+        site = (
+            f"{fc.chrom}\t{pos1}\t"
+            f"{';'.join(var.ids) if var.ids else '.'}\t{ref}\t"
+            f"{','.join(alts)}\t{qual}\t{filt}\t{info}\t"
+            "GT:GQ:GPP:APP:NAK:FAK:MAC:SAF"
+        )
+        writer.add_line(fc.chrom, pos1, site.encode() + tails[i] + b"\n")
+
+
+def _cluster_region_cache(fc):
+    region = getattr(fc, "_region_str", None)
+    if region is None:
+        start = min(x.pos for x in fc.variants)
+        end = max(x.end for x in fc.variants)
+        region = f"{fc.chrom}:{start + 1}-{end}"
+        fc._region_str = region
+    return region
+
+
+def _emit_records_pyloop(writer, chunk, stats, samples, ploidy_model):
     gpp, app, gq, gt = stats.gpp, stats.app, stats.gq, stats.gt
     saf, nak, fak, mac = stats.saf, stats.nak, stats.fak, stats.mac
 

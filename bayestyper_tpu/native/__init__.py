@@ -83,6 +83,14 @@ def get_lib():
                                   u64p, u64p, u64p]
     lib.bt_bloom_insert.argtypes = [u64p, u64, i32, u64p, u64p, i64]
     lib.bt_bloom_query.argtypes = [u64p, u64, i32, u64p, u64p, i64, u8p]
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.bt_render_samples.argtypes = [
+        i8p, i32p, f32p, f32p, f32p, f32p, f32p, f32p, u8p, i32p,
+        i64, i32, i32, i32, ctypes.c_char_p, i64, i64p,
+    ]
+    lib.bt_render_samples.restype = i64
     _LIB = lib
     return _LIB
 
@@ -214,6 +222,39 @@ def kmc_decode(records, rec_size, sufix_bytes, counter_bytes, prefixes,
         np.ascontiguousarray(prefixes, np.uint64), lut_len, k, hi, lo, counts,
     )
     return hi, lo, counts
+
+
+def render_samples(ploidy, gt, gq, gpp, app, nak, fak, mac, saf, na):
+    """Batch-render the per-sample FORMAT columns for n variant rows.
+
+    Returns a list of n bytes objects, each the row's sample-column tail
+    beginning with b"\\t" (byte-identical to writer.render_row's per-sample
+    portion)."""
+    lib = get_lib()
+    n, s = gq.shape
+    g_cap = gpp.shape[2]
+    a_cap = app.shape[2]
+    na = np.ascontiguousarray(na, np.int32)
+    # exact-enough upper bound: per cell 32 bytes fixed + 14 per float field
+    g_n = (na.astype(np.int64) * (na + 1)) // 2
+    cap = int((s * (32 + 14 * (g_n + 4 * na.astype(np.int64)) + 8 * na)).sum()) + 64
+    out = ctypes.create_string_buffer(cap)
+    row_off = np.empty(n + 1, np.int64)
+    total = lib.bt_render_samples(
+        np.ascontiguousarray(ploidy, np.int8),
+        np.ascontiguousarray(gt, np.int32),
+        np.ascontiguousarray(gq, np.float32),
+        np.ascontiguousarray(gpp, np.float32),
+        np.ascontiguousarray(app, np.float32),
+        np.ascontiguousarray(nak, np.float32),
+        np.ascontiguousarray(fak, np.float32),
+        np.ascontiguousarray(mac, np.float32),
+        np.ascontiguousarray(saf, np.uint8),
+        na, n, s, g_cap, a_cap, out, cap, row_off,
+    )
+    assert total >= 0, "render buffer overflow"
+    raw = out.raw
+    return [raw[row_off[i] : row_off[i + 1]] for i in range(n)]
 
 
 def bloom_insert(bits, num_bits, num_hashes, hi, lo):

@@ -236,9 +236,13 @@ class GenotypeVcfWriter:
             record.ref = ref.decode() if isinstance(ref, bytes) else str(ref)
         except KeyError:
             pass
-        line = (render_row(record) + "\n").encode()
-        ci = self._chrom_idx.get(record.chrom, len(self._chrom_idx))
-        self._index.append((ci, record.pos, self._tmp.tell(), len(line)))
+        self.add_line(record.chrom, record.pos,
+                      (render_row(record) + "\n").encode())
+
+    def add_line(self, chrom: str, pos: int, line: bytes):
+        """Append one fully rendered row (newline included)."""
+        ci = self._chrom_idx.get(chrom, len(self._chrom_idx))
+        self._index.append((ci, pos, self._tmp.tell(), len(line)))
         self._tmp.write(line)
         self.num_written += 1
 

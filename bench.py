@@ -234,6 +234,7 @@ def main():
         burn_in=int(os.environ.get("BENCH_BURN", 100)),
         num_samples=int(os.environ.get("BENCH_SAMPLES", 250)),
         random_seed=1,
+        num_host_threads=os.cpu_count() or 1,
     )
 
     # ---- warm-up: compile every size-class program (subsequent runs hit the

@@ -12,6 +12,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <numeric>
 #include <thread>
@@ -349,6 +350,94 @@ void bt_kmc_decode(const uint8_t* records, int64_t n, int32_t rec_size,
         lo[r] = l;
         counts[r] = c;
     }
+}
+
+// --- VCF sample-column renderer -------------------------------------------
+//
+// Renders the per-sample FORMAT columns (GT:GQ:GPP:APP:NAK:FAK:MAC:SAF,
+// GenotypeWriter.cpp:57) for a batch of variant rows in one pass. Python's
+// per-cell f"{x:.6g}" formatting dominated the genotype phase's writer
+// thread (~1.6M snprintf-equivalent calls per 8.7k variants x 13 samples);
+// this emits byte-identical output (C snprintf %.6g == Python :.6g on
+// glibc, verified across the value range) at C speed.
+//
+// Layout: ploidy [n,S], gt [n,S,2], gq [n,S], gpp [n,S,Gcap],
+// app/nak/fak/mac [n,S,Acap], saf [n,S,Acap], na [n].
+// Output: for each row, "\t<cell>\t<cell>..." written to out; row_off[n+1]
+// holds byte offsets. Returns total bytes, or -1 if out_cap would overflow.
+static inline char* fmt_g6(char* p, double x) {
+    return p + snprintf(p, 24, "%.6g", x);
+}
+
+int64_t bt_render_samples(const int8_t* ploidy, const int32_t* gt,
+                          const float* gq, const float* gpp, const float* app,
+                          const float* nak, const float* fak, const float* mac,
+                          const uint8_t* saf, const int32_t* na, int64_t n,
+                          int32_t S, int32_t Gcap, int32_t Acap,
+                          char* out, int64_t out_cap, int64_t* row_off) {
+    static const char kNullSample[] = "\t:.:.:.:.:.:.";
+    char* p = out;
+    char* const end = out + out_cap - 32;  // slack for one field
+    for (int64_t r = 0; r < n; ++r) {
+        row_off[r] = p - out;
+        const int32_t a_n = na[r];
+        const int32_t g_n = a_n * (a_n + 1) / 2;
+        for (int32_t s = 0; s < S; ++s) {
+            // worst case per cell: 2 GT ints + gq + (g_n + 4*a_n) floats
+            // at <=13 chars + separators
+            if (p + 32 + 14 * (g_n + 4 * a_n) > end) return -1;
+            const int8_t pl = ploidy[r * S + s];
+            if (pl == 0) {  // null ploidy (GenotypeWriter.cpp:58,319)
+                std::memcpy(p, kNullSample, sizeof(kNullSample) - 1);
+                p += sizeof(kNullSample) - 1;
+                continue;
+            }
+            *p++ = '\t';
+            const int32_t* g2 = gt + (r * S + s) * 2;
+            int32_t ng;
+            if (pl == 2) {  // diploid: a/b
+                if (g2[0] < 0) { *p++ = '.'; }
+                else p += snprintf(p, 12, "%d", g2[0]);
+                *p++ = '/';
+                if (g2[1] < 0) { *p++ = '.'; }
+                else p += snprintf(p, 12, "%d", g2[1]);
+                ng = g_n;
+            } else {  // haploid: single allele, gpp over na entries
+                if (g2[0] < 0) { *p++ = '.'; }
+                else p += snprintf(p, 12, "%d", g2[0]);
+                ng = a_n;
+            }
+            *p++ = ':';
+            p = fmt_g6(p, (double)gq[r * S + s]);
+            *p++ = ':';
+            const float* v = gpp + ((int64_t)r * S + s) * Gcap;
+            for (int32_t j = 0; j < ng; ++j) {
+                if (j) *p++ = ',';
+                p = fmt_g6(p, (double)v[j]);
+            }
+            const float* fields[4] = {
+                app + ((int64_t)r * S + s) * Acap,
+                nak + ((int64_t)r * S + s) * Acap,
+                fak + ((int64_t)r * S + s) * Acap,
+                mac + ((int64_t)r * S + s) * Acap,
+            };
+            for (int32_t f = 0; f < 4; ++f) {
+                *p++ = ':';
+                for (int32_t j = 0; j < a_n; ++j) {
+                    if (j) *p++ = ',';
+                    p = fmt_g6(p, (double)fields[f][j]);
+                }
+            }
+            *p++ = ':';
+            const uint8_t* sv = saf + ((int64_t)r * S + s) * Acap;
+            for (int32_t j = 0; j < a_n; ++j) {
+                if (j) *p++ = ',';
+                p += snprintf(p, 8, "%u", (unsigned)sv[j]);
+            }
+        }
+    }
+    row_off[n] = p - out;
+    return p - out;
 }
 
 // --- bloom filter batch ops ---------------------------------------------
