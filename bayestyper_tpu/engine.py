@@ -817,18 +817,19 @@ class _UnitCounts:
 
 
 def _build_bucket_batch(fcs, size_class, samples, ploidy_model, ucounts,
-                        rng):
-    """Vectorised FinalizedClusters + counts -> padded ClusterBucket.
+                        seed):
+    """FinalizedClusters + counts -> padded ClusterBucket.
 
-    Produces exactly what `build_bucket` over `_cluster_to_dict` dicts
-    produces (identical arrays, identical `rng` consumption order for the
-    per-cluster minimum covers) but assembles each field with a handful of
-    concatenate+scatter passes instead of a Python loop per cluster — the
-    per-bucket host build was ~half of the genotype phase's host time at
-    human scale.
-    """
+    The [C,K,*] tensors (counts gather, gender-resolved intercluster
+    multiplicities, multiplicity matrix, packed member bits) and the greedy
+    minimum covers are assembled by one fused native pass
+    (bt_build_bucket); small [C,H,V] fields stay numpy. The numpy fallback
+    produces bit-identical arrays (shared cover tie-break stream keyed on
+    (seed, cluster_id) — see model.buckets.cover_tiebreak_key)."""
+    from . import native
     from .model.buckets import (
-        ClusterBucket, _pack_member_bits, greedy_minimum_cover,
+        ClusterBucket, _pack_member_bits, cover_tiebreak_key,
+        greedy_minimum_cover,
     )
 
     cap_c, cap_k, cap_h, cap_v = size_class
@@ -837,59 +838,88 @@ def _build_bucket_batch(fcs, size_class, samples, ploidy_model, ucounts,
     s = len(samples)
 
     lens = np.fromiter((len(fc.kmer_hi) for fc in fcs), np.int64, n)
-    total = int(lens.sum())
-    offs = np.zeros(n + 1, np.int64)
-    np.cumsum(lens, out=offs[1:])
-    dest_c = np.repeat(np.arange(n, dtype=np.int64), lens)
-    dest_k = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
-
-    # observed counts: one gather from the unit-global rows
-    src = np.concatenate([
-        np.arange(ucounts.offs[i], ucounts.offs[i] + l, dtype=np.int64)
-        for i, l in (
-            (ucounts._index[fc.cluster_id], len(fc.kmer_hi)) for fc in fcs
-        )
-    ]) if n else np.zeros(0, np.int64)
-    counts = np.zeros((cap_c, cap_k, s), np.uint8)
-    counts[dest_c, dest_k] = ucounts.rows[src]
-
-    # gender-resolved intercluster multiplicities
     gf = np.fromiter(
         (smp.gender == GENDER_FEMALE for smp in samples), bool, s
     )
-    cat_f = np.concatenate([fc.inter_mult_female for fc in fcs]) if n else \
-        np.zeros(0, np.uint8)
-    cat_m = np.concatenate([fc.inter_mult_male for fc in fcs]) if n else \
-        np.zeros(0, np.uint8)
-    inter = np.zeros((cap_c, cap_k, s), np.uint8)
-    inter[dest_c, dest_k] = np.where(gf[None, :], cat_f[:, None],
-                                     cat_m[:, None])
+    src_start = np.fromiter(
+        (ucounts.offs[ucounts._index[fc.cluster_id]] for fc in fcs),
+        np.int64, n,
+    )
 
-    kmer_valid = np.zeros((cap_c, cap_k), bool)
-    kmer_valid[dest_c, dest_k] = True
+    if native.available() and n:
+        (counts, inter, kmer_valid, mult, member, use_sparse,
+         sparsity) = native.build_bucket_arrays(
+            fcs, ucounts.rows, src_start, gf, seed,
+            (cap_c, cap_k, cap_h, cap_v), s,
+        )
+    else:
+        total = int(lens.sum())
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        dest_c = np.repeat(np.arange(n, dtype=np.int64), lens)
+        dest_k = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
 
-    # ragged-H fields: group clusters by their true (h, v) so each group is
-    # one concatenate + one scatter
-    mult = np.zeros((cap_c, cap_k, cap_h), np.uint8)
-    member_bool = np.zeros((cap_c, cap_k, cap_v, cap_h), bool)
+        src = np.concatenate([
+            np.arange(s0, s0 + l, dtype=np.int64)
+            for s0, l in zip(src_start, lens)
+        ]) if n else np.zeros(0, np.int64)
+        counts = np.zeros((cap_c, cap_k, s), np.uint8)
+        counts[dest_c, dest_k] = ucounts.rows[src]
+
+        cat_f = np.concatenate([fc.inter_mult_female for fc in fcs]) if n \
+            else np.zeros(0, np.uint8)
+        cat_m = np.concatenate([fc.inter_mult_male for fc in fcs]) if n \
+            else np.zeros(0, np.uint8)
+        inter = np.zeros((cap_c, cap_k, s), np.uint8)
+        inter[dest_c, dest_k] = np.where(gf[None, :], cat_f[:, None],
+                                         cat_m[:, None])
+
+        kmer_valid = np.zeros((cap_c, cap_k), bool)
+        kmer_valid[dest_c, dest_k] = True
+
+        mult = np.zeros((cap_c, cap_k, cap_h), np.uint8)
+        member_bool = np.zeros((cap_c, cap_k, cap_v, cap_h), bool)
+        groups = defaultdict(list)
+        for i, fc in enumerate(fcs):
+            groups[(fc.hap_allele.shape[0], len(fc.variants))].append(i)
+        for (h, v), idxs in groups.items():
+            ia = np.asarray(idxs, np.int64)
+            sel = np.isin(dest_c, ia)
+            dc, dk = dest_c[sel], dest_k[sel]
+            mult[dc[:, None], dk[:, None], np.arange(h)[None, :]] = \
+                np.concatenate([fcs[i].mult for i in idxs])
+            member_bool[
+                dc[:, None, None], dk[:, None, None],
+                np.arange(v)[None, :, None], np.arange(h)[None, None, :]
+            ] = np.concatenate([fcs[i].member for i in idxs])
+        member = _pack_member_bits(member_bool)
+
+        nonzero_all = (counts > 0).any(axis=2) | (inter > 0).any(axis=2)
+        use_sparse = np.zeros((cap_c,), bool)
+        sparsity = np.full((cap_c,), 0.5, np.float32)
+        for i, fc in enumerate(fcs):
+            cover = greedy_minimum_cover(
+                fc.mult, nonzero_all[i, : lens[i]],
+                cover_tiebreak_key(seed, fc.cluster_id),
+            )
+            if len(cover) > 0:
+                use_sparse[i] = True
+                h = fc.hap_allele.shape[0]
+                sparsity[i] = min(
+                    len(cover) / float(h),
+                    1.0 - np.finfo(np.float64).eps * 100,
+                )
+
+    # small ragged-H fields: grouped by true (h, v), one scatter per group
     hap_valid = np.zeros((cap_c, cap_h), bool)
     hap_allele = np.zeros((cap_c, cap_h, cap_v), np.int16)
     num_alleles = np.zeros((cap_c, cap_v), np.int16)
     variant_valid = np.zeros((cap_c, cap_v), bool)
-
     groups = defaultdict(list)
     for i, fc in enumerate(fcs):
         groups[(fc.hap_allele.shape[0], len(fc.variants))].append(i)
     for (h, v), idxs in groups.items():
         ia = np.asarray(idxs, np.int64)
-        sel = np.isin(dest_c, ia)
-        dc, dk = dest_c[sel], dest_k[sel]
-        mult[dc[:, None], dk[:, None], np.arange(h)[None, :]] = \
-            np.concatenate([fcs[i].mult for i in idxs])
-        member_bool[
-            dc[:, None, None], dk[:, None, None],
-            np.arange(v)[None, :, None], np.arange(h)[None, None, :]
-        ] = np.concatenate([fcs[i].member for i in idxs])
         hap_valid[ia[:, None], np.arange(h)[None, :]] = True
         hap_allele[ia[:, None, None], np.arange(h)[None, :, None],
                    np.arange(v)[None, None, :]] = np.stack(
@@ -911,23 +941,6 @@ def _build_bucket_batch(fcs, size_class, samples, ploidy_model, ucounts,
             chrom_cache[fc.chrom] = p
         ploidy[i] = p
 
-    # minimum covers stay a per-cluster loop IN INPUT ORDER so the rng
-    # consumption matches the per-cluster builder exactly
-    nonzero_all = (counts > 0).any(axis=2) | (inter > 0).any(axis=2)
-    use_sparse = np.zeros((cap_c,), bool)
-    sparsity = np.full((cap_c,), 0.5, np.float32)
-    for i, fc in enumerate(fcs):
-        k_i = lens[i]
-        cover = greedy_minimum_cover(
-            fc.mult, nonzero_all[i, :k_i], rng
-        )
-        if len(cover) > 0:
-            use_sparse[i] = True
-            h = fc.hap_allele.shape[0]
-            sparsity[i] = min(
-                len(cover) / float(h), 1.0 - np.finfo(np.float64).eps * 100
-            )
-
     cluster_id = np.zeros((cap_c,), np.int64)
     cluster_id[:n] = np.fromiter((fc.cluster_id for fc in fcs), np.int64, n)
     cluster_valid = np.zeros((cap_c,), bool)
@@ -943,7 +956,7 @@ def _build_bucket_batch(fcs, size_class, samples, ploidy_model, ucounts,
         hap_allele=hap_allele,
         num_alleles=num_alleles,
         variant_valid=variant_valid,
-        member=_pack_member_bits(member_bool),
+        member=member,
         use_sparse=use_sparse,
         sparsity=sparsity,
         cluster_id=cluster_id,
@@ -966,6 +979,7 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     from .ops.distributions import np_build_count_log_prob_tables
 
     rng = np.random.default_rng(opts.random_seed)
+    seed = opts.random_seed
     if not unit.compiled:
         raise ValueError("no clusters to estimate noise from")
     if ucounts is None:
@@ -1014,7 +1028,7 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
             fcs = cls_fcs[start : start + c_limit]
             c_pad = _pad_clusters(len(fcs), mesh)
             bucket = _build_bucket_batch(
-                fcs, (c_pad, k, h, v), samples, ploidy_model, ucounts, rng
+                fcs, (c_pad, k, h, v), samples, ploidy_model, ucounts, seed
             ).device_arrays()
             if mesh is not None:
                 bucket, tables = _shard_for_mesh(bucket, tables, mesh)
@@ -1128,6 +1142,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
 
     opts = opts or GenotypeOptions()
     rng = np.random.default_rng(opts.random_seed)
+    seed = opts.random_seed
 
     table, counts = gather_sample_counts(unit, samples, opts.num_host_threads)
     _log_rss("sample counts")
@@ -1232,7 +1247,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             chunk = fcs[start : start + c_limit]
             c_pad = _pad_clusters(len(chunk), mesh)
             bucket = _build_bucket_batch(
-                chunk, (c_pad, k, h, v), samples, ploidy_model, ucounts, rng
+                chunk, (c_pad, k, h, v), samples, ploidy_model, ucounts, seed
             ).device_arrays()
             if mesh is not None:
                 bucket, tables = _shard_for_mesh(bucket, tables, mesh)
@@ -1276,6 +1291,7 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
     containment depth, children sampled conditionally on their parent's
     outcome with ploidy demotion (genotype_nested; the reference's
     VariantClusterGroup::runGibbsSample DAG recursion)."""
+    seed = opts.random_seed
     import jax.numpy as jnp
     from .model.gibbs import (
         GibbsConfig, genotype_nested, make_outcome_space,
@@ -1302,7 +1318,7 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
         c_pad = _pow2_at_least(len(fcs), 1)
         buckets.append(
             _build_bucket_batch(
-                fcs, (c_pad, k, h, v), samples, ploidy_model, ucounts, rng
+                fcs, (c_pad, k, h, v), samples, ploidy_model, ucounts, seed
             ).device_arrays()
         )
         outcomes_list.append(make_outcome_space(h))
@@ -1685,6 +1701,7 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     from .ops.distributions import np_build_count_log_prob_tables
 
     rng = np.random.default_rng(opts.random_seed)
+    seed = opts.random_seed
     if table is None:
         table, counts = gather_sample_counts(unit, samples, opts.num_host_threads)
     if nb_params is None:
@@ -1725,7 +1742,7 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     for (h, k, v, a), cls_fcs in sorted(by_class.items()):
         c_pad = _pad_clusters(len(cls_fcs), mesh)
         bucket = _build_bucket_batch(
-            cls_fcs, (c_pad, k, h, v), samples, ploidy_model, ucounts, rng
+            cls_fcs, (c_pad, k, h, v), samples, ploidy_model, ucounts, seed
         ).device_arrays()
         if mesh is not None:
             bucket, tables = _shard_for_mesh(bucket, tables, mesh)

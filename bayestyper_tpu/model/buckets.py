@@ -182,28 +182,48 @@ def build_bucket(clusters, size_class, num_samples):
     )
 
 
-def greedy_minimum_cover(mult, nonzero_rows, rng):
+_GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def cover_tiebreak_key(seed, cluster_id):
+    """Initial splitmix64 state of the cover tie-break stream for one
+    cluster: keyed on (seed, cluster_id) so the cover is deterministic and
+    independent of cluster/bucket ordering (must match bt_build_bucket)."""
+    from ..ops.kmers import mix64
+
+    mask = 0xFFFFFFFFFFFFFFFF
+    return int(mix64((int(seed) ^ ((int(cluster_id) * int(_GOLDEN64)) & mask))
+                     & mask))
+
+
+def greedy_minimum_cover(mult, nonzero_rows, key):
     """Greedy minimum column cover of the kmer x haplotype matrix.
 
     Mirrors SparsityEstimator::estimateMinimumColumnCover
     (SparsityEstimator.cpp:41-87), unweighted mode: repeatedly pick uniformly
-    among columns covering the most uncovered nonzero-count rows.
+    among columns covering the most uncovered nonzero-count rows. Ties are
+    broken by a counter-based splitmix64 stream (see cover_tiebreak_key) —
+    bit-identical to the native bt_build_bucket path.
 
     Args:
       mult: [K, H] uint8 numpy matrix.
       nonzero_rows: [K] bool — kmers with observed counts.
-      rng: numpy Generator for tie-breaking.
+      key: uint64 stream state from cover_tiebreak_key.
     Returns: list of haplotype (column) indices.
     """
+    from ..ops.kmers import mix64
+
     uncovered = nonzero_rows.astype(np.int64).copy()
     m = mult.astype(np.int64)
     cover = []
+    state = int(key)
     while uncovered.sum() > 0:
         row_cover = uncovered @ m  # [H]
         best = row_cover.max()
         assert best > 0
         candidates = np.flatnonzero(row_cover == best)
-        pick = int(candidates[rng.integers(len(candidates))])
+        state = (state + int(_GOLDEN64)) & 0xFFFFFFFFFFFFFFFF
+        pick = int(candidates[int(mix64(state)) % len(candidates)])
         cover.append(pick)
         uncovered = uncovered * (m[:, pick] == 0)
     return cover

@@ -91,6 +91,13 @@ def get_lib():
         i64, i32, i32, i32, ctypes.c_char_p, i64, i64p,
     ]
     lib.bt_render_samples.restype = i64
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.bt_build_bucket.argtypes = [
+        i64, i64p, i64p, i64p, u64p, u64p, u64p, u64p,
+        u8p, i64p, i32, u8p, i64p, u64,
+        i64, i64, i64, i64,
+        u8p, u8p, u8p, u8p, u32p, u8p, f32p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -222,6 +229,58 @@ def kmc_decode(records, rec_size, sufix_bytes, counter_bytes, prefixes,
         np.ascontiguousarray(prefixes, np.uint64), lut_len, k, hi, lo, counts,
     )
     return hi, lo, counts
+
+
+def build_bucket_arrays(fcs, rows, src_start, gf, seed, caps, s):
+    """Fused bucket assembly: fills the [C,K,*] tensors + greedy covers.
+
+    fcs: FinalizedClusters (mult/member/inter arrays must be C-contiguous);
+    rows: [R, S] uint8 observed counts; src_start: per-cluster row offset;
+    gf: [S] bool female flags; caps: (C, K, H, V) padded dims.
+    Returns (counts, inter, kmer_valid, mult, member, use_sparse, sparsity).
+    """
+    lib = get_lib()
+    cap_c, cap_k, cap_h, cap_v = caps
+    n = len(fcs)
+    w = (cap_h + 31) // 32
+    k_i = np.fromiter((len(fc.kmer_hi) for fc in fcs), np.int64, n)
+    h_i = np.fromiter((fc.hap_allele.shape[0] for fc in fcs), np.int64, n)
+    v_i = np.fromiter((len(fc.variants) for fc in fcs), np.int64, n)
+    keep = []  # keep contiguous copies alive across the call
+
+    def ptrs(arrays, dtype):
+        out = np.empty(n, np.uint64)
+        for i, a in enumerate(arrays):
+            a = np.ascontiguousarray(a, dtype)
+            keep.append(a)
+            out[i] = a.ctypes.data
+        return out
+
+    mult_p = ptrs((fc.mult for fc in fcs), np.uint8)
+    member_p = ptrs((fc.member for fc in fcs), np.uint8)
+    interf_p = ptrs((fc.inter_mult_female for fc in fcs), np.uint8)
+    interm_p = ptrs((fc.inter_mult_male for fc in fcs), np.uint8)
+
+    counts = np.zeros((cap_c, cap_k, s), np.uint8)
+    inter = np.zeros((cap_c, cap_k, s), np.uint8)
+    kmer_valid = np.zeros((cap_c, cap_k), np.uint8)
+    mult = np.zeros((cap_c, cap_k, cap_h), np.uint8)
+    member = np.zeros((cap_c, cap_k, cap_v, w), np.uint32)
+    use_sparse = np.zeros(cap_c, np.uint8)
+    sparsity = np.full(cap_c, 0.5, np.float32)
+    lib.bt_build_bucket(
+        n, k_i, h_i, v_i, mult_p, member_p, interf_p, interm_p,
+        np.ascontiguousarray(rows, np.uint8),
+        np.ascontiguousarray(src_start, np.int64), s,
+        np.ascontiguousarray(gf, np.uint8),
+        np.fromiter((fc.cluster_id for fc in fcs), np.int64, n),
+        np.uint64(seed), cap_k, cap_h, cap_v, w,
+        counts, inter, kmer_valid, mult,
+        member.reshape(-1), use_sparse, sparsity,
+    )
+    del keep
+    return (counts, inter, kmer_valid.astype(bool), mult, member,
+            use_sparse.astype(bool), sparsity)
 
 
 def render_samples(ploidy, gt, gq, gpp, app, nak, fak, mac, saf, na):

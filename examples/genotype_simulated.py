@@ -5,7 +5,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bayestyper_tpu.model.buckets import build_bucket, greedy_minimum_cover
+from bayestyper_tpu.model.buckets import (
+    build_bucket, cover_tiebreak_key, greedy_minimum_cover,
+)
 from bayestyper_tpu.model.gibbs import GibbsConfig, genotype_bucket, make_outcome_space
 from bayestyper_tpu.model.stats import FilterConfig, collect_bucket_stats
 from bayestyper_tpu.model.count_model import CountModel, NegativeBinomialParams
@@ -33,7 +35,9 @@ def snv_cluster(gts, cid):
     return dict(mult=mult, inter_mult=np.zeros((2*nk,s),np.uint8), counts=counts,
                 ploidy=np.full(s,2,np.int8), hap_allele=np.array([[0],[1]],np.int16),
                 num_alleles=np.array([2],np.int16), member=member,
-                cover=greedy_minimum_cover(mult,(counts>0).any(1),rng), cluster_id=cid)
+                cover=greedy_minimum_cover(
+                    mult, (counts>0).any(1), cover_tiebreak_key(42, cid)
+                ), cluster_id=cid)
 
 truth = [[(0,0),(0,1),(1,1)], [(0,1),(1,1),(0,0)], [(1,1),(0,0),(0,1)], [(0,0),(0,0),(0,1)]]
 clusters = [snv_cluster(g,i) for i,g in enumerate(truth)]

@@ -352,6 +352,108 @@ void bt_kmc_decode(const uint8_t* records, int64_t n, int32_t rec_size,
     }
 }
 
+// --- fused padded-bucket assembly ------------------------------------------
+//
+// Fills the [C,K,*] tensors of one ClusterBucket size class in a single
+// cache-friendly pass over the real (unpadded) per-cluster arrays, and runs
+// the greedy minimum-cover sparsity estimator (SparsityEstimator.cpp:41-87)
+// per cluster with a counter-based splitmix64 tie-break keyed on
+// (seed, cluster_id) — deterministic and independent of cluster order, the
+// same stream as the Python fallback in model/buckets.py.
+//
+// Pointer tables carry the addresses of each cluster's contiguous arrays
+// (mult [k,h] u8, member [k,v,h] bool, inter_f/inter_m [k] u8); counts come
+// from one global rows matrix ([R,S] u8) at src_start[c].
+static inline uint64_t mix64s(uint64_t x) {
+    x ^= x >> 30; x *= 0xFF51AFD7ED558CCDULL;
+    x ^= x >> 27; x *= 0xC4CEB9FE1A85EC53ULL;
+    x ^= x >> 31;
+    return x;
+}
+
+void bt_build_bucket(
+    int64_t n, const int64_t* k_i, const int64_t* h_i, const int64_t* v_i,
+    const uint64_t* mult_ptr, const uint64_t* member_ptr,
+    const uint64_t* interf_ptr, const uint64_t* interm_ptr,
+    const uint8_t* rows, const int64_t* src_start, int32_t S,
+    const uint8_t* gf, const int64_t* cluster_id, uint64_t seed,
+    int64_t K, int64_t H, int64_t V, int64_t W,
+    uint8_t* counts, uint8_t* inter, uint8_t* kmer_valid, uint8_t* mult_out,
+    uint32_t* member_out, uint8_t* use_sparse, float* sparsity) {
+    std::vector<uint8_t> uncovered;
+    std::vector<int64_t> row_cover, cand;
+    for (int64_t c = 0; c < n; ++c) {
+        const int64_t k_n = k_i[c], h_n = h_i[c], v_n = v_i[c];
+        const uint8_t* m_src = (const uint8_t*)mult_ptr[c];
+        const uint8_t* mem_src = (const uint8_t*)member_ptr[c];
+        const uint8_t* if_src = (const uint8_t*)interf_ptr[c];
+        const uint8_t* im_src = (const uint8_t*)interm_ptr[c];
+        const uint8_t* row_src = rows + src_start[c] * S;
+        uncovered.assign(k_n, 0);
+        for (int64_t k = 0; k < k_n; ++k) {
+            uint8_t* cnt = counts + (c * K + k) * S;
+            uint8_t* itr = inter + (c * K + k) * S;
+            const uint8_t* r = row_src + k * S;
+            const uint8_t f = if_src[k], m = im_src[k];
+            uint8_t nz = 0;
+            for (int32_t s = 0; s < S; ++s) {
+                cnt[s] = r[s];
+                itr[s] = gf[s] ? f : m;
+                nz |= cnt[s] | itr[s];
+            }
+            uncovered[k] = nz ? 1 : 0;
+            kmer_valid[c * K + k] = 1;
+            std::memcpy(mult_out + (c * K + k) * H, m_src + k * h_n, h_n);
+            uint32_t* mo = member_out + ((c * K + k) * V) * W;
+            const uint8_t* ms = mem_src + k * v_n * h_n;
+            for (int64_t v = 0; v < v_n; ++v) {
+                for (int64_t h = 0; h < h_n; ++h) {
+                    if (ms[v * h_n + h]) {
+                        mo[v * W + (h >> 5)] |= 1u << (h & 31);
+                    }
+                }
+            }
+        }
+        // greedy minimum cover (multiplicity-weighted, ties broken by the
+        // per-cluster splitmix64 stream)
+        uint64_t state = mix64s(seed ^ ((uint64_t)cluster_id[c] *
+                                        0x9E3779B97F4A7C15ULL));
+        int64_t n_uncov = 0;
+        for (int64_t k = 0; k < k_n; ++k) n_uncov += uncovered[k];
+        int64_t csize = 0;
+        while (n_uncov > 0) {
+            row_cover.assign(h_n, 0);
+            for (int64_t k = 0; k < k_n; ++k) {
+                if (!uncovered[k]) continue;
+                const uint8_t* mr = m_src + k * h_n;
+                for (int64_t h = 0; h < h_n; ++h) row_cover[h] += mr[h];
+            }
+            int64_t best = 0;
+            for (int64_t h = 0; h < h_n; ++h) {
+                if (row_cover[h] > best) best = row_cover[h];
+            }
+            if (best == 0) break;  // uncoverable row (Python path asserts)
+            cand.clear();
+            for (int64_t h = 0; h < h_n; ++h) {
+                if (row_cover[h] == best) cand.push_back(h);
+            }
+            state += 0x9E3779B97F4A7C15ULL;
+            const int64_t pick = cand[mix64s(state) % cand.size()];
+            ++csize;
+            n_uncov = 0;
+            for (int64_t k = 0; k < k_n; ++k) {
+                uncovered[k] = uncovered[k] && m_src[k * h_n + pick] == 0;
+                n_uncov += uncovered[k];
+            }
+        }
+        if (csize > 0) {
+            use_sparse[c] = 1;
+            double sp = (double)csize / (double)h_n;
+            sparsity[c] = (float)(sp < 1.0 ? sp : 1.0);
+        }
+    }
+}
+
 // --- VCF sample-column renderer -------------------------------------------
 //
 // Renders the per-sample FORMAT columns (GT:GQ:GPP:APP:NAK:FAK:MAC:SAF,

@@ -6,7 +6,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from bayestyper_tpu.model.buckets import build_bucket, greedy_minimum_cover
+from bayestyper_tpu.model.buckets import (
+    build_bucket, cover_tiebreak_key, greedy_minimum_cover,
+)
 from bayestyper_tpu.model.gibbs import (
     GibbsConfig,
     genotype_bucket,
@@ -56,7 +58,9 @@ def make_snv_cluster(rng, genotypes, num_kmers_per_allele=20, cluster_id=0):
     member = np.zeros((k, 1, 2), dtype=bool)
     member[:, 0, :] = mult > 0
 
-    cover = greedy_minimum_cover(mult, (counts > 0).any(axis=1), rng)
+    cover = greedy_minimum_cover(
+        mult, (counts > 0).any(axis=1), cover_tiebreak_key(1, cluster_id)
+    )
     return {
         "mult": mult,
         "inter_mult": np.zeros((k, s), dtype=np.uint8),
