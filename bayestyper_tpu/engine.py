@@ -127,7 +127,13 @@ class LaneTable:
         from . import native
 
         if native.available():
-            return native.lane_lookup(self.hi, self.lo, hi, lo)
+            roots = getattr(self, "_roots", None)
+            if roots is None:
+                roots = native.build_lane_roots(self.hi)
+                self._roots = roots
+            return native.lane_lookup_rooted(
+                self.hi, self.lo, roots[0], roots[1], hi, lo
+            )
         from .ops.kmers import lane_search
 
         return lane_search(self.hi, self.lo, hi, lo)
@@ -671,10 +677,21 @@ def gather_sample_counts(unit: InferenceUnitData, samples, num_threads: int = 1)
         )
         _log(f"Device lookup enabled: table sharded over {mesh.size} chips")
 
+    from . import native
+
+    use_merge = native.available() and dev_table is None
+
     def _one(si_sample):
         si, sample = si_sample
         reader = KmcReader(sample.kmc_prefix)
         n_hit = 0
+        # KMC tables are sorted by canonical kmer, which coincides with
+        # ascending (hi, lo) lane order — a two-pointer merge against the
+        # sorted lane table replaces per-query binary search. The cursor
+        # persists across batches; a non-monotonic batch (foreign producer)
+        # falls back to binary search for that batch.
+        cursor = 0
+        prev_hi = prev_lo = None
         for hi, lo, cnt in reader.batches():
             if dev_table is not None:
                 payload = dev_table.lookup_counts(hi, lo)
@@ -686,6 +703,14 @@ def gather_sample_counts(unit: InferenceUnitData, samples, num_threads: int = 1)
                 if len(maybe_zero):
                     hz = table.lookup(hi[maybe_zero], lo[maybe_zero]) == 0
                     hit[maybe_zero[hz]] = True
+            elif use_merge and len(hi) and _is_ascending(
+                hi, lo, prev_hi, prev_lo
+            ):
+                idx, cursor = native.lane_merge_lookup(
+                    table.hi, table.lo, hi, lo, cursor
+                )
+                hit = idx >= 0
+                prev_hi, prev_lo = hi[-1], lo[-1]
             else:
                 idx = table.lookup(hi, lo)
                 hit = idx >= 0
@@ -704,6 +729,19 @@ def gather_sample_counts(unit: InferenceUnitData, samples, num_threads: int = 1)
         for item in enumerate(samples):
             _one(item)
     return table, counts
+
+
+def _is_ascending(hi, lo, prev_hi, prev_lo):
+    """True when the (hi, lo) batch is sorted ascending and follows the
+    previous batch's last key."""
+    asc = np.all(
+        (hi[1:] > hi[:-1]) | ((hi[1:] == hi[:-1]) & (lo[1:] >= lo[:-1]))
+    )
+    if not asc:
+        return False
+    if prev_hi is None:
+        return True
+    return bool(hi[0] > prev_hi or (hi[0] == prev_hi and lo[0] >= prev_lo))
 
 
 def parameter_kmer_stats(unit, samples, table, counts):
@@ -725,13 +763,16 @@ def parameter_kmer_stats(unit, samples, table, counts):
         )
         mult = np.minimum(mult, n_bins - 1)
         c = counts[idx, si].astype(np.float64)
-        for m in np.unique(mult):
-            sel = mult == m
-            vals = c[sel]
-            out["count"][si, m] = len(vals)
-            if len(vals):
-                out["mean"][si, m] = vals.mean()
-                out["var"][si, m] = vals.var(ddof=1) if len(vals) > 1 else 0.0
+        cnt = np.bincount(mult, minlength=n_bins).astype(np.int64)
+        s1 = np.bincount(mult, weights=c, minlength=n_bins)
+        s2 = np.bincount(mult, weights=c * c, minlength=n_bins)
+        nz = cnt > 0
+        out["count"][si] = cnt
+        out["mean"][si, nz] = s1[nz] / cnt[nz]
+        multi = cnt > 1
+        out["var"][si, multi] = np.maximum(
+            (s2[multi] - s1[multi] ** 2 / cnt[multi]) / (cnt[multi] - 1), 0.0
+        )
     return out
 
 
@@ -965,7 +1006,7 @@ def _build_bucket_batch(fcs, size_class, samples, ploidy_model, ucounts,
 
 
 def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
-                   opts: GenotypeOptions, ucounts=None):
+                   opts: GenotypeOptions, ucounts=None, genomic_tables=None):
     """Noise rate estimation over single-cluster groups of EVERY size class
     (estimateNoise, InferenceEngine.cpp:135-276; group selection :141-151
     has no size restriction). Clusters are bucketed per size class and all
@@ -1009,7 +1050,8 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
 
     tables = jnp.asarray(
         np_build_count_log_prob_tables(
-            nb_params.p, nb_params.size, np.full(len(samples), 1e-3), 255
+            nb_params.p, nb_params.size, np.full(len(samples), 1e-3), 255,
+            genomic=genomic_tables,
         )
     )
     mesh = _get_mesh(opts)
@@ -1136,7 +1178,9 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     import jax
     import jax.numpy as jnp
     from .model.count_model import fit_genomic_nb
-    from .model.gibbs import GibbsConfig, genotype_bucket, make_outcome_space
+    from .model.gibbs import (
+        GibbsConfig, genotype_buckets_multi, make_outcome_space,
+    )
     from .model.stats import FilterConfig, collect_bucket_stats
     from .ops.distributions import np_build_count_log_prob_tables
 
@@ -1155,17 +1199,20 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     write_genomic_parameters(prefix, samples, nb_params)
     ucounts = _UnitCounts(unit, table, counts)
 
+    from .ops.distributions import np_build_genomic_tables
+
+    genomic64 = np_build_genomic_tables(nb_params.p, nb_params.size, 255)
     with _Profiler():
         noise_rates, noise_traces = estimate_noise(
             unit, samples, table, counts, ploidy_model, nb_params, opts,
-            ucounts=ucounts,
+            ucounts=ucounts, genomic_tables=genomic64,
         )
     _log_rss("noise estimation")
     write_noise_parameters(prefix, samples, noise_traces, noise_rates)
 
     tables = jnp.asarray(
         np_build_count_log_prob_tables(
-            nb_params.p, nb_params.size, noise_rates, 255
+            nb_params.p, nb_params.size, noise_rates, 255, genomic=genomic64,
         )
     )
     mesh = _get_mesh(opts)
@@ -1217,8 +1264,16 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     key = jax.random.PRNGKey(opts.random_seed)
     num_genotyped = 0
     emitter = _AsyncEmitter(writer, samples, ploidy_model)
+
+    # work items: one per (size class, cluster chunk). The per-class 350-step
+    # scans are latency-bound for all but the largest class, so items are
+    # packed into WAVES under the shared HBM budget and each wave runs as ONE
+    # compiled scan (genotype_buckets_multi) stepping every bucket per
+    # iteration. Per-cluster results are invariant to the packing (subsample
+    # + Gibbs streams are keyed on cluster_id).
+    budget_bytes = 2 << 30
+    work = []
     for (h, k, v, a), fcs in sorted(by_class.items()):
-        outcomes = make_outcome_space(h)
         max_tot = _step_at_least(
             min(
                 255,
@@ -1228,6 +1283,11 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             ),
             8, 4,
         )
+        c_limit = _bucket_limit(opts, k, h, len(samples), max_tot,
+                                opts.num_chains, budget_bytes=budget_bytes)
+        per_cluster = budget_bytes // max(c_limit, 1)
+        # cap/inter gates are per CLASS (a packing-independent cluster set)
+        # so a cluster's streams don't depend on chunk composition
         cfg = GibbsConfig(
             num_chains=opts.num_chains, burn_in=opts.burn_in,
             num_samples=opts.num_samples,
@@ -1237,34 +1297,67 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
             has_inter=_any_inter(fcs),
         )
-        c_limit = _bucket_limit(opts, k, h, len(samples), max_tot,
-                                opts.num_chains)
-        # one-deep software pipeline: the device runs bucket N while the
-        # host builds bucket N+1 and renders bucket N-1 (dispatch is async;
-        # only the device_get in _emit_records synchronises)
-        pending = None
         for start in range(0, len(fcs), c_limit):
             chunk = fcs[start : start + c_limit]
             c_pad = _pad_clusters(len(chunk), mesh)
+            work.append(dict(
+                chunk=chunk, cfg=cfg, h=h, k=k, v=v, a=a, c_pad=c_pad,
+                cost=per_cluster * c_pad,
+            ))
+
+    waves = []
+    cur, cur_cost = [], 0
+    for item in work:
+        if cur and cur_cost + item["cost"] > budget_bytes:
+            waves.append(cur)
+            cur, cur_cost = [], 0
+        cur.append(item)
+        cur_cost += item["cost"]
+    if cur:
+        waves.append(cur)
+
+    # one-deep software pipeline: the device runs wave N while the host
+    # builds wave N+1 and renders wave N-1 (dispatch is async; only the
+    # device_get in the emitter synchronises)
+    pending = None
+    for wave in waves:
+        buckets, outcomes_list, cfgs = [], [], []
+        for item in wave:
             bucket = _build_bucket_batch(
-                chunk, (c_pad, k, h, v), samples, ploidy_model, ucounts, seed
+                item["chunk"], (item["c_pad"], item["k"], item["h"],
+                                item["v"]),
+                samples, ploidy_model, ucounts, seed,
             ).device_arrays()
             if mesh is not None:
                 bucket, tables = _shard_for_mesh(bucket, tables, mesh)
-            tally, w = genotype_bucket(key, bucket, tables, outcomes, cfg)
-            stats = collect_bucket_stats(
+            buckets.append(bucket)
+            outcomes_list.append(make_outcome_space(item["h"]))
+            cfgs.append(item["cfg"])
+        tallies, ws = genotype_buckets_multi(
+            key, tuple(buckets), tables, tuple(outcomes_list), tuple(cfgs)
+        )
+        stats_list = [
+            collect_bucket_stats(
                 bucket, outcomes, tally, w, filters,
-                allele_capacity=a, mac_top_t=8,
+                allele_capacity=item["a"], mac_top_t=8,
             )
-            if pending is not None:
-                emitter.emit(pending[0], pending[1])
-                num_genotyped += sum(len(fc.variants) for fc in pending[0])
-                _log(f"Genotyped {num_genotyped} variants")
-            pending = (chunk, stats)
+            for item, bucket, outcomes, tally, w in zip(
+                wave, buckets, outcomes_list, tallies, ws
+            )
+        ]
         if pending is not None:
-            emitter.emit(pending[0], pending[1])
-            num_genotyped += sum(len(fc.variants) for fc in pending[0])
+            for chunk, stats in pending:
+                emitter.emit(chunk, stats)
+                num_genotyped += sum(len(fc.variants) for fc in chunk)
             _log(f"Genotyped {num_genotyped} variants")
+        pending = [
+            (item["chunk"], stats) for item, stats in zip(wave, stats_list)
+        ]
+    if pending is not None:
+        for chunk, stats in pending:
+            emitter.emit(chunk, stats)
+            num_genotyped += sum(len(fc.variants) for fc in chunk)
+        _log(f"Genotyped {num_genotyped} variants")
 
     emitter.close()
     if nested:
@@ -1728,9 +1821,13 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
         nested = []
     mesh = _get_mesh(opts)
 
+    from .ops.distributions import np_build_genomic_tables
+
+    genomic64 = np_build_genomic_tables(nb_params.p, nb_params.size, 255)
     tables = jnp.asarray(
         np_build_count_log_prob_tables(
-            nb_params.p, nb_params.size, np.full(len(samples), 1e-3), 255
+            nb_params.p, nb_params.size, np.full(len(samples), 1e-3), 255,
+            genomic=genomic64,
         )
     )
 
@@ -1809,7 +1906,8 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     if nested:
         frozen_tables = jnp.asarray(
             np_build_count_log_prob_tables(
-                nb_params.p, nb_params.size, mean_rates, 255
+                nb_params.p, nb_params.size, mean_rates, 255,
+                genomic=genomic64,
             )
         )
         _genotype_nested_set(

@@ -100,20 +100,35 @@ def make_outcome_space(num_haplotypes: int) -> OutcomeSpace:
     return OutcomeSpace(h, oa, ob, het, mask)
 
 
-def subsample_masks(key, kmer_valid, num_chains, rate=KMER_SUBSAMPLING_RATE):
+def subsample_masks(key, kmer_valid, num_chains, rate=KMER_SUBSAMPLING_RATE,
+                    cluster_ids=None):
     """Per-chain Bernoulli k-mer subsets: [C, chains, K] bool.
 
     Mirrors the Bernoulli part of sampleKmerSubset
     (VariantClusterHaplotypes.cpp:110-157). When the per-(haplotype, variant)
     cap can bind (pool > max_haplotype_variant_kmers for some pair) the
     caller additionally applies `apply_kmer_cap`.
+
+    With `cluster_ids` the draws are keyed per cluster
+    (fold_in(key, cluster_id)) so the subset of every cluster is independent
+    of bucket shape, chunk packing, and co-scheduled size classes — the same
+    invariance discipline as the per-(cluster, chain) Gibbs streams.
     """
     c, k = kmer_valid.shape
-    u = jax.random.uniform(key, (c, num_chains, k))
+    if cluster_ids is None:
+        u = jax.random.uniform(key, (c, num_chains, k))
+    else:
+        u = jax.vmap(
+            lambda cid: jax.random.uniform(
+                jax.random.fold_in(key, cid.astype(jnp.uint32)),
+                (num_chains, k),
+            )
+        )(cluster_ids)
     return (u < rate) & kmer_valid[:, None, :]
 
 
-def apply_kmer_cap(key, w, member_packed, num_haplotypes, cap):
+def apply_kmer_cap(key, w, member_packed, num_haplotypes, cap,
+                   cluster_ids=None):
     """Exact per-chain shuffled-order kmer cap per (haplotype, variant).
 
     Reference semantics (isMaxHaplotypeVariantKmer,
@@ -137,7 +152,14 @@ def apply_kmer_cap(key, w, member_packed, num_haplotypes, cap):
     v = member_packed.shape[2]
     h = num_haplotypes
 
-    keys = jax.random.split(key, c * num_chains).reshape(c, num_chains, 2)
+    if cluster_ids is None:
+        keys = jax.random.split(key, c * num_chains).reshape(c, num_chains, 2)
+    else:
+        keys = jax.vmap(
+            lambda cid: jax.random.split(
+                jax.random.fold_in(key, cid.astype(jnp.uint32)), num_chains
+            )
+        )(cluster_ids)  # [C, chains, 2]
     perm = jax.vmap(jax.vmap(lambda kk: jax.random.permutation(kk, k)))(keys)
 
     def step(counts, t):
@@ -488,15 +510,17 @@ def _subsample_with_cap(key, bucket, num_chains, cfg):
     # common case) is unchanged
     if not cfg.apply_cap:
         return subsample_masks(
-            key, bucket.kmer_valid, num_chains, cfg.kmer_subsampling_rate
+            key, bucket.kmer_valid, num_chains, cfg.kmer_subsampling_rate,
+            cluster_ids=bucket.cluster_id,
         )
     k_sub, k_cap = jax.random.split(key)
     w = subsample_masks(
-        k_sub, bucket.kmer_valid, num_chains, cfg.kmer_subsampling_rate
+        k_sub, bucket.kmer_valid, num_chains, cfg.kmer_subsampling_rate,
+        cluster_ids=bucket.cluster_id,
     )
     return apply_kmer_cap(
         k_cap, w, bucket.member, bucket.num_haplotypes,
-        cfg.max_haplotype_variant_kmers,
+        cfg.max_haplotype_variant_kmers, cluster_ids=bucket.cluster_id,
     )
 
 
@@ -582,6 +606,94 @@ def genotype_bucket(base_key, bucket: ClusterBucket, tables, outcomes: OutcomeSp
         step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32)
     )
     return tally, w
+
+
+@functools.partial(jax.jit, static_argnames=("outcomes_list", "cfgs"))
+def genotype_buckets_multi(base_key, buckets, tables, outcomes_list, cfgs):
+    """Frozen-noise genotyping of SEVERAL buckets in ONE compiled program.
+
+    The per-class scans are latency-bound (350 sequential steps whose
+    per-step work is tiny for all but the largest class); stepping every
+    bucket inside one lax.scan amortises the per-step overhead and the
+    dispatch/fetch round-trips across classes. Because the subsample and
+    Gibbs streams are keyed per (cluster_id, chain), each cluster's result
+    is bit-identical to a per-class `genotype_bucket` call — co-scheduling
+    is purely a scheduling decision (tested in test_gibbs_multi.py).
+
+    Returns (tallies, ws): tuples matching `buckets` with the same contents
+    as genotype_bucket's (tally [C, ch, S, O], w [C, ch, K]).
+    """
+    num_iters = cfgs[0].burn_in + cfgs[0].num_samples
+    assert all(
+        cfg.burn_in + cfg.num_samples == num_iters for cfg in cfgs
+    ), "co-scheduled buckets must share the iteration count"
+
+    setups = []
+    for bucket, outcomes, cfg in zip(buckets, outcomes_list, cfgs):
+        k_sub, k_chain = jax.random.split(base_key)
+        w = _subsample_with_cap(k_sub, bucket, cfg.num_chains, cfg)
+        ll = compute_log_likelihoods(
+            bucket, outcomes, tables, w, cfg.max_total_mult,
+            include_noise_row=True, has_inter=cfg.has_inter,
+        )
+        osp = (
+            jnp.asarray(outcomes.oa),
+            jnp.asarray(outcomes.ob),
+            jnp.asarray(outcomes.het_bonus),
+            jnp.asarray(outcomes.ploidy_mask),
+        )
+        chain_keys = _chain_keys(k_chain, bucket.cluster_id, cfg.num_chains)
+        hv = bucket.hap_valid
+        nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
+        freqs0 = jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)
+        freqs0 = jnp.broadcast_to(
+            freqs0[:, None, :],
+            (bucket.num_clusters, cfg.num_chains, bucket.num_haplotypes),
+        )
+        setups.append(dict(
+            bucket=bucket, cfg=cfg, w=w, ll=ll, osp=osp,
+            chain_keys=chain_keys, freqs0=freqs0,
+            o=outcomes.num_outcomes,
+        ))
+
+    def step(carry, t):
+        freqs_list, tally_list = carry
+        new_freqs_list, new_tally_list = [], []
+        for su, freqs, tally in zip(setups, freqs_list, tally_list):
+            def per_cc(ck, f, llcc, ploidy, hvc, sp, usp, osp=su["osp"]):
+                key = jax.random.fold_in(ck, t.astype(jnp.uint32))
+                return _gibbs_iteration(key, f, llcc, ploidy, hvc, sp, usp,
+                                        osp)
+
+            bucket = su["bucket"]
+            new_freqs, o_sel = jax.vmap(  # over clusters
+                jax.vmap(per_cc, in_axes=(0, 0, 0, None, None, None, None)),
+                in_axes=(0, 0, 0, 0, 0, 0, 0),
+            )(su["chain_keys"], freqs, su["ll"], bucket.ploidy,
+              bucket.hap_valid, bucket.sparsity, bucket.use_sparse)
+            collect = (t >= su["cfg"].burn_in).astype(jnp.int32)
+            onehot = (
+                jnp.arange(su["o"], dtype=jnp.int32)[None, None, None, :]
+                == o_sel[..., None]
+            ).astype(jnp.int32)
+            new_freqs_list.append(new_freqs)
+            new_tally_list.append(tally + collect * onehot)
+        return (tuple(new_freqs_list), tuple(new_tally_list)), None
+
+    freqs0_list = tuple(su["freqs0"] for su in setups)
+    tally0_list = tuple(
+        jnp.zeros(
+            (su["bucket"].num_clusters, su["cfg"].num_chains,
+             su["bucket"].num_samples, su["o"]),
+            jnp.int32,
+        )
+        for su in setups
+    )
+    (_, tallies), _ = jax.lax.scan(
+        step, (freqs0_list, tally0_list),
+        jnp.arange(num_iters, dtype=jnp.int32),
+    )
+    return tallies, tuple(su["w"] for su in setups)
 
 
 @functools.partial(
@@ -858,9 +970,11 @@ def noise_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
     for bi, (bucket, outcomes, cfg) in enumerate(
         zip(buckets, outcomes_list, cfgs)
     ):
-        def per_chain_w(km, bucket=bucket, cfg=cfg, bi=bi):
-            kb = jax.random.fold_in(km, jnp.uint32(bi))
-            k_sub, k_chain = jax.random.split(kb)
+        def per_chain_w(km, bucket=bucket, cfg=cfg):
+            # draws are keyed per cluster inside _subsample_with_cap, so no
+            # bucket-index fold: a cluster's subset is independent of which
+            # chunk/class bucket it landed in
+            k_sub, k_chain = jax.random.split(km)
             return _subsample_with_cap(k_sub, bucket, 1, cfg)[:, 0], k_chain
 
         w_ch, k_chain_ch = jax.vmap(per_chain_w)(k_master)  # [ch,C,K], [ch,2]
@@ -1017,9 +1131,11 @@ def joint_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
     for bi, (bucket, outcomes, cfg) in enumerate(
         zip(buckets, outcomes_list, cfgs)
     ):
-        def per_chain_w(km, bucket=bucket, cfg=cfg, bi=bi):
-            kb = jax.random.fold_in(km, jnp.uint32(bi))
-            k_sub, k_chain = jax.random.split(kb)
+        def per_chain_w(km, bucket=bucket, cfg=cfg):
+            # draws are keyed per cluster inside _subsample_with_cap, so no
+            # bucket-index fold: a cluster's subset is independent of which
+            # chunk/class bucket it landed in
+            k_sub, k_chain = jax.random.split(km)
             return _subsample_with_cap(k_sub, bucket, 1, cfg)[:, 0], k_chain
 
         w_ch, k_chain_ch = jax.vmap(per_chain_w)(k_master)

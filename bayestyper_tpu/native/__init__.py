@@ -79,6 +79,11 @@ def get_lib():
                                     i64, i64, i64, u8p]
     lib.bt_kmer_lanes.argtypes = [u8p, u8p, i64, i32, u64p, u64p, u8p]
     lib.bt_lane_lookup.argtypes = [u64p, u64p, i64, u64p, u64p, i64, i64p]
+    lib.bt_lane_merge_lookup.argtypes = [u64p, u64p, i64, u64p, u64p, i64,
+                                         i64, i64p]
+    lib.bt_lane_merge_lookup.restype = i64
+    lib.bt_lane_lookup_rooted.argtypes = [u64p, u64p, i64p, i32,
+                                          u64p, u64p, i64, i64p]
     lib.bt_kmc_decode.argtypes = [u8p, i64, i32, i32, i32, u64p, i32, i32,
                                   u64p, u64p, u64p]
     lib.bt_bloom_insert.argtypes = [u64p, u64, i32, u64p, u64p, i64]
@@ -214,6 +219,51 @@ def lane_lookup(table_hi, table_lo, qhi, qlo):
         np.ascontiguousarray(qlo, np.uint64), len(qhi), out,
     )
     return out
+
+
+def lane_lookup_rooted(table_hi, table_lo, roots, shift, qhi, qlo):
+    """Root-indexed lookup: roots is the [2^bits + 1] offset array over
+    (hi >> shift); see build_lane_roots."""
+    lib = get_lib()
+    out = np.empty(len(qhi), dtype=np.int64)
+    lib.bt_lane_lookup_rooted(
+        np.ascontiguousarray(table_hi), np.ascontiguousarray(table_lo),
+        roots, shift,
+        np.ascontiguousarray(qhi, np.uint64),
+        np.ascontiguousarray(qlo, np.uint64), len(qhi), out,
+    )
+    return out
+
+
+def build_lane_roots(table_hi, target_leaf=32):
+    """Root offset array over the top bits of hi: (roots, shift). Sized so
+    leaves average ~target_leaf rows (2 cache lines per query)."""
+    n = len(table_hi)
+    bits = 1
+    while (1 << bits) < max(n // target_leaf, 2) and bits < 22:
+        bits += 1
+    shift = 54 - bits
+    bounds = np.arange(1, (1 << bits), dtype=np.uint64) << np.uint64(shift)
+    roots = np.empty((1 << bits) + 1, np.int64)
+    roots[0] = 0
+    roots[-1] = n
+    roots[1:-1] = np.searchsorted(table_hi, bounds, side="left")
+    return roots, shift
+
+
+def lane_merge_lookup(table_hi, table_lo, qhi, qlo, t0=0):
+    """Merge lookup for ASCENDING query streams: returns (idx, new_cursor).
+    idx[i] = table row of query i or -1; new_cursor resumes the next batch
+    of the same stream."""
+    lib = get_lib()
+    out = np.empty(len(qhi), dtype=np.int64)
+    t = lib.bt_lane_merge_lookup(
+        np.ascontiguousarray(table_hi), np.ascontiguousarray(table_lo),
+        len(table_hi),
+        np.ascontiguousarray(qhi, np.uint64),
+        np.ascontiguousarray(qlo, np.uint64), len(qhi), t0, out,
+    )
+    return out, t
 
 
 def kmc_decode(records, rec_size, sufix_bytes, counter_bytes, prefixes,

@@ -135,28 +135,23 @@ build_count_log_prob_tables = jax.vmap(
 )
 
 
-def np_build_count_log_prob_tables(p, size, noise_rates,
-                                   max_multiplicity=MAX_KMER_MULTIPLICITY):
-    """Host float64 table builder (numpy) for maximum precision.
+def np_build_genomic_tables(p, size, max_multiplicity=MAX_KMER_MULTIPLICITY):
+    """Host float64 genomic NB rows ([S, M+1, 256], row 0 left zero).
 
-    The reference computes its caches in double (CountDistribution.cpp:58-59);
-    building in f64 and shipping f32 tables to the device keeps table entries
-    within f32 rounding of the reference, whereas f32 lgamma on device drifts
-    by ~1e-3. Used for the static (frozen-noise) tables; the per-iteration
-    noise path in joint mode is analytic and needs no tables.
-    """
+    Noise-rate independent — build once per unit and patch noise rows per
+    use (np_build_count_log_prob_tables): the gammaln/logsumexp sweep over
+    256x255 cells per sample is the expensive part."""
     import numpy as np
     from scipy import special as sp
 
     p = np.atleast_1d(np.asarray(p, np.float64))
     size = np.atleast_1d(np.asarray(size, np.float64))
-    rates = np.atleast_1d(np.asarray(noise_rates, np.float64))
     num_samples = p.shape[0]
 
     counts = np.arange(MAX_KMER_COUNT + 1 + _TAIL_TERMS, dtype=np.float64)
     mults = np.arange(1, max_multiplicity + 1, dtype=np.float64)
 
-    tables = np.empty((num_samples, max_multiplicity + 1, MAX_KMER_COUNT + 1),
+    tables = np.zeros((num_samples, max_multiplicity + 1, MAX_KMER_COUNT + 1),
                       dtype=np.float64)
     for s in range(num_samples):
         sz = size[s] * mults[:, None]
@@ -172,7 +167,36 @@ def np_build_count_log_prob_tables(p, size, noise_rates,
         g255 = np.minimum(tail, 0.0)
         tables[s, 1:, : MAX_KMER_COUNT + 1] = g[:, : MAX_KMER_COUNT + 1]
         tables[s, 1:, MAX_KMER_COUNT] = g255
+    return tables
 
+
+def np_build_count_log_prob_tables(p, size, noise_rates,
+                                   max_multiplicity=MAX_KMER_MULTIPLICITY,
+                                   genomic=None):
+    """Host float64 table builder (numpy) for maximum precision.
+
+    The reference computes its caches in double (CountDistribution.cpp:58-59);
+    building in f64 and shipping f32 tables to the device keeps table entries
+    within f32 rounding of the reference, whereas f32 lgamma on device drifts
+    by ~1e-3. Used for the static (frozen-noise) tables; the per-iteration
+    noise path in joint mode is analytic and needs no tables.
+
+    `genomic`: optional precomputed np_build_genomic_tables result (the
+    noise-rate-independent rows) to avoid rebuilding it per rate set.
+    """
+    import numpy as np
+    from scipy import special as sp
+
+    p = np.atleast_1d(np.asarray(p, np.float64))
+    size = np.atleast_1d(np.asarray(size, np.float64))
+    rates = np.atleast_1d(np.asarray(noise_rates, np.float64))
+    num_samples = p.shape[0]
+
+    if genomic is None:
+        genomic = np_build_genomic_tables(p, size, max_multiplicity)
+    tables = genomic.copy()
+    counts = np.arange(MAX_KMER_COUNT + 1 + _TAIL_TERMS, dtype=np.float64)
+    for s in range(num_samples):
         n = (
             counts * np.log(rates[s])
             - rates[s]

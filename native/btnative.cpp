@@ -312,6 +312,53 @@ void bt_lane_lookup(const uint64_t* thi, const uint64_t* tlo, int64_t tn,
     }
 }
 
+// --- root-indexed lane lookup ----------------------------------------------
+//
+// The plain binary search over multi-million-row tables is DRAM-latency
+// bound (~20 dependent cache misses per query). A root offset array over
+// the top bits of hi (the TPU-era counterpart of the reference's 4^12-root
+// HybridHash, KmerHash.cpp:51) narrows each query to a handful of rows:
+// roots[b]..roots[b+1] bound the rows whose (hi >> shift) == b.
+void bt_lane_lookup_rooted(const uint64_t* thi, const uint64_t* tlo,
+                           const int64_t* roots, int32_t shift,
+                           const uint64_t* qhi, const uint64_t* qlo,
+                           int64_t qn, int64_t* out) {
+    for (int64_t i = 0; i < qn; ++i) {
+        const uint64_t h = qhi[i], l = qlo[i];
+        const uint64_t b = h >> shift;
+        int64_t lo_i = roots[b], hi_i = roots[b + 1];
+        while (lo_i < hi_i) {
+            const int64_t mid = (lo_i + hi_i) >> 1;
+            if (thi[mid] < h || (thi[mid] == h && tlo[mid] < l)) {
+                lo_i = mid + 1;
+            } else {
+                hi_i = mid;
+            }
+        }
+        out[i] = (lo_i < roots[b + 1] && thi[lo_i] == h && tlo[lo_i] == l)
+                     ? lo_i : -1;
+    }
+}
+
+// --- sorted-stream merge lookup -------------------------------------------
+//
+// Queries arrive in ascending (hi, lo) order (KMC tables are sorted), so a
+// two-pointer merge against the sorted lane table replaces per-query binary
+// search (~60ns/query -> ~3ns/query). t0 is the table cursor carried across
+// batches of one stream; returns the cursor after the last query.
+int64_t bt_lane_merge_lookup(const uint64_t* thi, const uint64_t* tlo,
+                             int64_t tn, const uint64_t* qhi,
+                             const uint64_t* qlo, int64_t qn, int64_t t0,
+                             int64_t* out) {
+    int64_t t = t0;
+    for (int64_t i = 0; i < qn; ++i) {
+        const uint64_t h = qhi[i], l = qlo[i];
+        while (t < tn && (thi[t] < h || (thi[t] == h && tlo[t] < l))) ++t;
+        out[i] = (t < tn && thi[t] == h && tlo[t] == l) ? t : -1;
+    }
+    return t;
+}
+
 // --- KMC suffix-record decode -------------------------------------------
 //
 // records: n contiguous records of (sufix_bytes + counter_bytes); prefixes:

@@ -78,3 +78,45 @@ def _timed(fn):
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
+
+
+def test_rooted_lookup_matches_plain():
+    rng = np.random.default_rng(9)
+    n = 200_000
+    hi = np.sort(rng.integers(0, 2**54, n).astype(np.uint64))
+    lo = rng.integers(0, 2**56, n).astype(np.uint64)
+    order = np.lexsort((lo, hi))
+    hi, lo = hi[order], lo[order]
+    q_hit_hi, q_hit_lo = hi[::13], lo[::13]
+    q_miss_hi = hi[::17]
+    q_miss_lo = lo[::17] ^ np.uint64(1)
+    qhi = np.concatenate([q_hit_hi, q_miss_hi])
+    qlo = np.concatenate([q_hit_lo, q_miss_lo])
+    roots, shift = native.build_lane_roots(hi)
+    got = native.lane_lookup_rooted(hi, lo, roots, shift, qhi, qlo)
+    want = native.lane_lookup(hi, lo, qhi, qlo)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_merge_lookup_matches_plain():
+    rng = np.random.default_rng(10)
+    n = 50_000
+    hi = rng.integers(0, 2**30, n).astype(np.uint64)
+    lo = rng.integers(0, 2**20, n).astype(np.uint64)
+    order = np.lexsort((lo, hi))
+    hi, lo = hi[order], lo[order]
+    keep = np.ones(n, bool)
+    keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    hi, lo = hi[keep], lo[keep]
+    # ascending query stream with hits and misses, split into two batches
+    qhi = np.repeat(hi[::3], 2)
+    qlo = np.repeat(lo[::3], 2)
+    qlo[1::2] ^= np.uint64(1)
+    order = np.lexsort((qlo, qhi))
+    qhi, qlo = qhi[order], qlo[order]
+    mid = len(qhi) // 2
+    i1, cur = native.lane_merge_lookup(hi, lo, qhi[:mid], qlo[:mid], 0)
+    i2, _ = native.lane_merge_lookup(hi, lo, qhi[mid:], qlo[mid:], cur)
+    got = np.concatenate([i1, i2])
+    want = native.lane_lookup(hi, lo, qhi, qlo)
+    np.testing.assert_array_equal(got, want)
