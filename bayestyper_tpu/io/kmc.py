@@ -122,9 +122,17 @@ class KmcReader:
         self._prefix_mask = (1 << (2 * lut_len)) - 1
 
     def _prefix_values(self, start: int, stop: int) -> np.ndarray:
-        """Prefix value for records [start, stop) via LUT boundary search."""
-        idx = np.searchsorted(self._lut, np.arange(start, stop), side="right") - 1
-        return (idx & self._prefix_mask).astype(np.uint64)
+        """Prefix value for records [start, stop): LUT entry i owns records
+        [lut[i], lut[i+1]), so the per-record map is a run-length expansion
+        of the overlapping LUT intervals (a per-record searchsorted cost
+        ~2.5s per 4M-kmer sample; this is O(lut + n))."""
+        lut = self._lut
+        i0 = int(np.searchsorted(lut, start, side="right")) - 1
+        i1 = int(np.searchsorted(lut, stop, side="left"))
+        bounds = np.clip(lut[i0 : i1 + 1].astype(np.int64), start, stop)
+        reps = np.diff(bounds)
+        idx = np.arange(i0, i1, dtype=np.int64)
+        return (np.repeat(idx, reps) & self._prefix_mask).astype(np.uint64)
 
     def batches(self, batch_size: int = 1 << 20):
         """Yield (hi, lo, counts) canonical lane batches in file order."""
