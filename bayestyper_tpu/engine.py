@@ -454,6 +454,7 @@ def _run_cluster_phase_impl(
         mult_f = mult_m = np.zeros(0, np.int32)
     _log(f"Sampled {len(u_hi)} parameter kmers from {total_region_len} bp of "
          f"intercluster sequence")
+    _log("Finalising clusters")
 
     # 5. finalise clusters: keep member kmers that are not excluded
     # (isExcluded = decoy | max-mult | multigroup, KmerCounts.cpp:93-96).
