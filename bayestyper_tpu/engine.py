@@ -338,13 +338,15 @@ def _run_cluster_phase_impl(
             else c.member.any(axis=(1, 2))
             for c in compiled
         ])
+        _log(f"Union pass over {len(cat_hi)} path kmer entries")
 
         from . import native
 
         if native.available() and len(cat_hi):
-            # native MSB-bucketed pair sort (~8x numpy's 2-key lexsort)
-            midx_all, rep = native.pair_unique(cat_hi, cat_lo)
-            u_hi, u_lo = cat_hi[rep], cat_lo[rep]
+            # one fused sorted walk emits the union table, per-entry union
+            # rows, multigroup flags and member flags (bt_multigroup_pass)
+            midx_all, u_hi, u_lo, member_flags, ex_multi_all = \
+                native.multigroup_pass(cat_hi, cat_lo, member_any_all)
         else:
             order = np.lexsort((cat_lo, cat_hi))
             sh, sl = cat_hi[order], cat_lo[order]
@@ -356,19 +358,19 @@ def _run_cluster_phase_impl(
             midx_all = np.empty(len(sh), np.int64)
             midx_all[order] = urow_sorted
             u_hi, u_lo = sh[first], sl[first]
-        occ = np.bincount(midx_all, minlength=len(u_hi))
-        multi_mask = occ > 1
+            occ = np.bincount(midx_all, minlength=len(u_hi))
+            ex_multi_all = (occ > 1)[midx_all]
+            member_flags = np.zeros(len(u_hi), dtype=bool)
+            member_flags[midx_all[member_any_all]] = True
+        multi_rows = np.unique(midx_all[ex_multi_all])
         multigroup = LaneTable.from_unsorted_unique(
-            u_hi[multi_mask], u_lo[multi_mask]
+            u_hi[multi_rows], u_lo[multi_rows]
         )
-        ex_multi_all = multi_mask[midx_all]
         # all-path union rows are exactly (u_hi, u_lo), already sorted —
         # build the table without re-sorting
         all_path_union = LaneTable.__new__(LaneTable)
         all_path_union.hi = np.ascontiguousarray(u_hi)
         all_path_union.lo = np.ascontiguousarray(u_lo)
-        member_flags = np.zeros(len(all_path_union), dtype=bool)
-        member_flags[midx_all[member_any_all]] = True
     else:
         multigroup = LaneTable(np.zeros(0, np.uint64), np.zeros(0, np.uint64))
         all_path_union = LaneTable(

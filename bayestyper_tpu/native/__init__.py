@@ -74,6 +74,9 @@ def get_lib():
     lib.bt_cluster_tables.argtypes = [u64p, u64p, i64p, i64p, i64, i32, i32,
                                       i64p, u64p, u64p, i64p, u8p]
     lib.bt_cluster_tables.restype = i64
+    lib.bt_multigroup_pass.argtypes = [u64p, u64p, u8p, i64, i64p, u64p,
+                                       u64p, u8p, u8p, i64p]
+    lib.bt_multigroup_pass.restype = i64
     lib.bt_entry_paths.argtypes = [i64p, i64, i64p, i64, i64p]
     lib.bt_member_spans.argtypes = [i64p, i64, i64p, i64p, i64p, i64p, i64p,
                                     i64, i64, i64, u8p]
@@ -177,6 +180,31 @@ def pair_unique(hi, lo):
         np.ascontiguousarray(lo, np.uint64), n, midx, rep, scratch,
     )
     return midx, rep[:nu]
+
+
+def multigroup_pass(hi, lo, member_any):
+    """Fused global union pass: returns (midx, u_hi, u_lo, u_member,
+    ex_multi) — per-entry union row, sorted-unique union table, per-union
+    member flag (OR of member_any), per-entry occurs-in->1-cluster flag."""
+    lib = get_lib()
+    n = len(hi)
+    midx = np.empty(n, np.int64)
+    u_hi = np.empty(max(n, 1), np.uint64)
+    u_lo = np.empty(max(n, 1), np.uint64)
+    u_member = np.zeros(max(n, 1), np.uint8)
+    ex_multi = np.zeros(n, np.uint8)
+    bits = 1
+    while (1 << bits) < n // 8 and bits < 24:
+        bits += 1
+    scratch = np.empty((1 << bits) + 1 + n, dtype=np.int64)
+    nu = lib.bt_multigroup_pass(
+        np.ascontiguousarray(hi, np.uint64),
+        np.ascontiguousarray(lo, np.uint64),
+        np.ascontiguousarray(member_any, np.uint8), n,
+        midx, u_hi, u_lo, u_member, ex_multi, scratch,
+    )
+    return (midx, u_hi[:nu], u_lo[:nu], u_member[:nu].astype(bool),
+            ex_multi.astype(bool))
 
 
 def segment_sort(hi, lo, seg_off):

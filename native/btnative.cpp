@@ -291,6 +291,119 @@ int64_t bt_pair_unique(const uint64_t* hi, const uint64_t* lo, int64_t n,
     return u1 + u2;
 }
 
+// --- fused multigroup pass ---------------------------------------------
+//
+// bt_pair_unique plus everything the cluster phase derives from it, fused
+// into the same per-bucket sorted walk (all copies of a (hi, lo) value are
+// adjacent after the global sort): emits the union table (u_hi/u_lo), the
+// per-entry union row (midx), the per-entry "occurs in >1 cluster" flag
+// (ex_multi — clusters own contiguous entry segments, so >1 distinct
+// segment == occ > 1 here since per-cluster tables are already deduped),
+// and the per-union member flag (OR of member_any). Replaces ~6 numpy
+// passes with 30M-element random gathers/scatters.
+int64_t bt_multigroup_pass(const uint64_t* hi, const uint64_t* lo,
+                           const uint8_t* member_any, int64_t n,
+                           int64_t* midx, uint64_t* u_hi, uint64_t* u_lo,
+                           uint8_t* u_member, uint8_t* ex_multi,
+                           int64_t* scratch) {
+    if (n == 0) return 0;
+    int32_t bits = 1;
+    while ((1LL << bits) < n / 8 && bits < 24) ++bits;
+    const int64_t nb = 1LL << bits;
+    const int32_t shift = 54 - bits;
+    struct E { uint64_t h, l; int64_t i; };
+    int64_t* off = scratch;
+    int64_t* perm = scratch + nb + 1;
+    std::fill(off, off + nb + 1, 0);
+    for (int64_t i = 0; i < n; ++i) ++off[(hi[i] >> shift) + 1];
+    for (int64_t b = 0; b < nb; ++b) off[b + 1] += off[b];
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t b = hi[i] >> shift;
+        perm[off[b]++] = i;
+    }
+    auto run = [&](int64_t b_begin, int64_t b_end, int64_t u_base,
+                   int64_t* n_unique_out) {
+        std::vector<E> local;
+        int64_t u = u_base - 1;
+        int64_t run_start = 0;  // perm index where the current unique began
+        uint64_t ph = 0, pl = 0;
+        bool any = false;
+        uint8_t mem = 0;
+        int64_t start = b_begin ? off[b_begin - 1] : 0;
+        auto close_run = [&](int64_t run_end) {
+            if (!any) return;
+            u_member[u] = mem;
+            if (run_end - run_start > 1) {
+                for (int64_t j = run_start; j < run_end; ++j) {
+                    ex_multi[perm[j]] = 1;
+                }
+            }
+        };
+        for (int64_t b = b_begin; b < b_end; ++b) {
+            const int64_t end = off[b];
+            const int64_t m = end - start;
+            if (m > 1) {
+                local.resize(m);
+                for (int64_t j = 0; j < m; ++j) {
+                    const int64_t i = perm[start + j];
+                    local[j] = E{hi[i], lo[i], i};
+                }
+                std::sort(local.begin(), local.end(),
+                          [](const E& x, const E& y) {
+                              return x.h < y.h ||
+                                     (x.h == y.h && x.l < y.l);
+                          });
+                for (int64_t j = 0; j < m; ++j) {
+                    const E& e = local[j];
+                    perm[start + j] = e.i;
+                    if (!any || e.h != ph || e.l != pl) {
+                        close_run(start + j);
+                        ++u;
+                        run_start = start + j;
+                        u_hi[u] = e.h;
+                        u_lo[u] = e.l;
+                        ph = e.h; pl = e.l; any = true;
+                        mem = 0;
+                    }
+                    mem |= member_any[e.i];
+                    midx[e.i] = u;
+                }
+            } else if (m == 1) {
+                const int64_t i = perm[start];
+                if (!any || hi[i] != ph || lo[i] != pl) {
+                    close_run(start);
+                    ++u;
+                    run_start = start;
+                    u_hi[u] = hi[i];
+                    u_lo[u] = lo[i];
+                    ph = hi[i]; pl = lo[i]; any = true;
+                    mem = 0;
+                }
+                mem |= member_any[i];
+                midx[i] = u;
+            }
+            start = end;
+        }
+        close_run(start);
+        *n_unique_out = u + 1 - u_base;
+    };
+    const int64_t b_mid = nb / 2;
+    const int64_t mid_off = b_mid ? off[b_mid - 1] : 0;
+    int64_t u1 = 0, u2 = 0;
+    std::thread t1(run, 0, b_mid, 0, &u1);
+    std::thread t2(run, b_mid, nb, mid_off, &u2);
+    t1.join();
+    t2.join();
+    if (u1 != mid_off) {
+        const int64_t delta = mid_off - u1;
+        for (int64_t j = mid_off; j < n; ++j) midx[perm[j]] -= delta;
+        std::memmove(u_hi + u1, u_hi + mid_off, sizeof(uint64_t) * u2);
+        std::memmove(u_lo + u1, u_lo + mid_off, sizeof(uint64_t) * u2);
+        std::memmove(u_member + u1, u_member + mid_off, u2);
+    }
+    return u1 + u2;
+}
+
 // --- sorted lane-pair table lookup --------------------------------------
 //
 // Table sorted by (hi, lo). out[i] = index of query i, or -1.

@@ -120,3 +120,37 @@ def test_merge_lookup_matches_plain():
     got = np.concatenate([i1, i2])
     want = native.lane_lookup(hi, lo, qhi, qlo)
     np.testing.assert_array_equal(got, want)
+
+
+def test_multigroup_pass_matches_numpy():
+    rng = np.random.default_rng(12)
+    n = 300_000
+    # force plenty of duplicates
+    pool_hi = rng.integers(0, 2**54, n // 4).astype(np.uint64)
+    pool_lo = rng.integers(0, 2**56, n // 4).astype(np.uint64)
+    sel = rng.integers(0, n // 4, n)
+    hi, lo = pool_hi[sel], pool_lo[sel]
+    member_any = rng.random(n) < 0.7
+
+    midx, u_hi, u_lo, u_member, ex_multi = native.multigroup_pass(
+        hi, lo, member_any
+    )
+
+    order = np.lexsort((lo, hi))
+    sh, sl = hi[order], lo[order]
+    first = np.ones(n, bool)
+    first[1:] = (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])
+    urow_sorted = np.cumsum(first) - 1
+    want_midx = np.empty(n, np.int64)
+    want_midx[order] = urow_sorted
+    want_u_hi, want_u_lo = sh[first], sl[first]
+    occ = np.bincount(want_midx, minlength=len(want_u_hi))
+    want_ex = (occ > 1)[want_midx]
+    want_member = np.zeros(len(want_u_hi), bool)
+    want_member[want_midx[member_any]] = True
+
+    np.testing.assert_array_equal(midx, want_midx)
+    np.testing.assert_array_equal(u_hi, want_u_hi)
+    np.testing.assert_array_equal(u_lo, want_u_lo)
+    np.testing.assert_array_equal(u_member, want_member)
+    np.testing.assert_array_equal(ex_multi, want_ex)
