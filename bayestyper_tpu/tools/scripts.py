@@ -41,37 +41,259 @@ def _allele_type_and_length(ref: str, alt: str):
     return t.value, length
 
 
+_VARIANT_ATTRS = ("Count\tChromType\tFilter\tVariantType\tHasMissing\t"
+                  "HasRedundant\tNumAlleles\tEffectiveNumAlleles\tMaxAltACP\t"
+                  "MaxAltAC\tAN\tACO\tHPL\tHasHomopolymer\tHTV\t"
+                  "NumCompleteSamples\tNumCONCTrue\tNumCONCFalse\tBASE\tCALL\t"
+                  "GTCO\tMED")
+_ALLELE_ATTRS = ("Count\tChromType\tFilter\tAlleleType\tAlleleLength\t"
+                 "AlleleSVLength\tIsRedundant\tNumAlleles\t"
+                 "EffectiveNumAlleles\tACP\tAC\tAN\tACO\tHPL\tIsHomopolymer\t"
+                 "HTV\tNumCompleteSamples\tNumCONCTrue\tNumCONCFalse\tBASE\t"
+                 "CALL\tGTCO\tMED\tMinNAK\tMinFAK")
+
+
+def _contig_type(chrom: str) -> str:
+    """Contig::type() by name (Contig.cpp:60-102)."""
+    c = chrom.lower()
+    if c.startswith("chr"):
+        c = c[3:]
+    if c.isdigit():
+        return "Autosomal"
+    if c == "x":
+        return "ChrX"
+    if c == "y":
+        return "ChrY"
+    if c in ("m", "mt"):
+        return "Mitochondrial"
+    return "Unknown"
+
+
+def _allele_attributes(ref: str, alt: str):
+    """(typeStr, length, sv_length) per Auxiliaries::alleleAttributes
+    (Auxiliaries.cpp:142-203)."""
+    from ..graph.variants import _full_trim
+
+    if alt in ("*", "."):
+        return "Missing", 0, 0
+    if alt == ref:
+        return "Reference", len(alt), 0
+    r, a = _full_trim(ref, alt)
+    t = classify_allele(ref, alt)
+    name = {
+        AlleleType.SNV: "SNP", AlleleType.INSERTION: "Insertion",
+        AlleleType.DELETION: "Deletion", AlleleType.INVERSION: "Inversion",
+        AlleleType.COMPLEX: "Complex", AlleleType.REFERENCE: "Reference",
+    }[t]
+    sv_len = 0 if len(a) == len(r) else len(a) - len(r)
+    return name, len(a), sv_len
+
+
+def _fmt_f(x, precision):
+    return f"{x:.{precision}f}"
+
+
+def _sample_floats(sample, key, n):
+    """Comma list FORMAT value -> list of floats or None (absent/'.')."""
+    raw = sample.get(key)
+    if raw in (None, ".", ""):
+        return None
+    out = []
+    for part in str(raw).split(","):
+        try:
+            out.append(float(part))
+        except ValueError:
+            out.append(None)
+    out += [None] * (n - len(out))
+    return out[:n]
+
+
 def get_summary(vcf_path: str, output_prefix: str):
-    """Write <prefix>_variant.txt / <prefix>_allele.txt count tables."""
+    """Write <prefix>_variant.txt / <prefix>_allele.txt attribute count
+    tables with the reference's full column sets
+    (getSummary.cpp:44-467: variant_attributes/allele_attributes)."""
     variant_stats = Counter()
     allele_stats = Counter()
 
     reader = VcfReader(vcf_path, parse_samples=True)
+    sample_ids = reader.meta.samples if reader.meta else []
     n_var = n_all = 0
     for v in reader:
         n_var += 1
+        alleles = [v.ref] + list(v.alts)
+        na = len(alleles)
+        n_all += na
+        chrom_type = _contig_type(v.chrom)
         filt = ";".join(v.filters) if v.filters else "."
-        types = []
-        for alt in v.alts:
-            n_all += 1
-            if alt.startswith("<") or alt in ("*", "."):
-                t, length = "Symbolic", 0
-            else:
-                t, length = _allele_type_and_length(v.ref, alt)
-            types.append(t)
-            aco = v.info_get("ACO", ".")
-            allele_stats[(filt, t, _bin_length(length), str(1 + len(v.alts)),
-                          aco if isinstance(aco, str) else ".")] += 1
-        vtype = types[0] if len(set(types)) == 1 else "Mixture"
-        variant_stats[(filt, vtype, str(1 + len(v.alts)),
-                       str(v.info_get("AN", ".")))] += 1
+
+        # allele stats over called genotypes (Stats::calcAlleleStats) and
+        # call probs (max unfiltered APP across samples,
+        # Stats::calcCallProbs:162-186)
+        ac = [0] * na
+        acp = [0.0] * na
+        min_nak = [None] * na
+        min_fak = [None] * na
+        num_complete = conc_true = conc_false = 0
+        gtco = med = None
+        for s in v.samples:
+            gt = str(s.get("GT", ".")).replace("|", "/")
+            calls = [x for x in gt.split("/") if x not in (".", "")]
+            if gt not in (".", "") and "." not in gt.split("/"):
+                if calls:
+                    num_complete += 1
+            for x in calls:
+                ai = int(x)
+                if ai < na:
+                    ac[ai] += 1
+            saf = _sample_floats(s, "SAF", na)
+            app = _sample_floats(s, "APP", na)
+            nak = _sample_floats(s, "NAK", na)
+            fak = _sample_floats(s, "FAK", na)
+            for ai in range(na):
+                filtered = saf is not None and saf[ai] is not None \
+                    and saf[ai] > 0
+                if not filtered and app is not None and app[ai] is not None:
+                    acp[ai] = max(acp[ai], app[ai])
+                # -1 = not sampled (parseSampleAlleleValue,
+                # getSummary.cpp:50-66)
+                for vals, accum in ((nak, min_nak), (fak, min_fak)):
+                    if vals is not None and vals[ai] is not None \
+                            and vals[ai] != -1:
+                        accum[ai] = vals[ai] if accum[ai] is None else min(
+                            accum[ai], vals[ai]
+                        )
+            conc = s.get("CONC")
+            if conc in ("1", "TRUE", 1):
+                conc_true += 1
+            elif conc in ("0", "FALSE", 0):
+                conc_false += 1
+            gtco = s.get("GTCO", gtco)
+            med = s.get("MED", med)
+        if len(sample_ids) != 1 and len(v.samples) != 1:
+            gtco = med = None
+
+        an = sum(ac)
+        effective = sum(1 for c in ac if c > 0)
+        max_alt_acp = max(acp[1:], default=0.0)
+        max_alt_ac = max(ac[1:], default=0)
+
+        # redundant = duplicated allele sequences (getSummary.cpp:312-330)
+        redundant = [False] * na
+        for i in range(na):
+            for j in range(i + 1, na):
+                if alleles[i] == alleles[j]:
+                    redundant[i] = redundant[j] = True
+
+        has_missing = any(a in ("*", ".") for a in v.alts)
+
+        # ACO per alt + aggregated variant origins
+        # (Auxiliaries::variantOrigins)
+        aco_raw = v.info_get("ACO")
+        alt_acos = (str(aco_raw).split(",") if aco_raw not in (None, ".")
+                    else ["."] * len(v.alts))
+        alt_acos += ["."] * (len(v.alts) - len(alt_acos))
+        origins = []
+        for a_aco in alt_acos:
+            if a_aco != ".":
+                for o in a_aco.split(":"):
+                    if o and o != "." and o not in origins:
+                        origins.append(o)
+        var_aco = ":".join(origins) if origins else "NA"
+
+        # HPL = "length:base"; homopolymer alleles
+        # (Auxiliaries::getHomopolymerAlleles, max length diff 1)
+        hpl_raw = v.info_get("HPL")
+        hpl_len = "NA"
+        hpl_alleles = [False] * na
+        has_hpl_info = False
+        if hpl_raw not in (None, ".", "NA"):
+            parts = str(hpl_raw).split(":")
+            if len(parts) == 2:
+                hpl_len, hpl_base = parts
+                has_hpl_info = True
+                from ..graph.variants import _full_trim
+
+                for i in range(1, na):
+                    if v.alts[i - 1] in ("*", "."):
+                        continue
+                    for j in range(na):
+                        if i == j or alleles[i] == alleles[j]:
+                            continue
+                        if alleles[j] in ("*", "."):
+                            continue
+                        r1, a1 = _full_trim(v.ref, alleles[i])
+                        r2, a2 = _full_trim(v.ref, alleles[j])
+                        if all(
+                            set(x) <= {hpl_base} for x in (r1, a1, r2, a2)
+                        ):
+                            if (abs(len(r1) - len(r2))
+                                    + abs(len(a1) - len(a2))) <= 1:
+                                hpl_alleles[i] = True
+        has_homopolymer = "1" if any(hpl_alleles) else "0"
+        if not has_hpl_info:
+            has_homopolymer = "NA"
+
+        def info_str(key):
+            x = v.info_get(key)
+            if x in (None, "."):
+                return "NA"
+            if x == "TRUE":
+                return "1"
+            if x == "FALSE":
+                return "0"
+            return str(x)
+
+        def opt(x, precision=None):
+            if x in (None, ".", ""):
+                return "NA"
+            if precision is not None:
+                return _fmt_f(float(x), precision)
+            return str(x)
+
+        common_tail = (
+            info_str("HTV"), str(num_complete), str(conc_true),
+            str(conc_false), info_str("BASE"), info_str("CALL"),
+            opt(gtco), opt(med, 2) if med not in (None, ".", "") else "NA",
+        )
+
+        for ai in range(na):
+            t, length, sv_len = _allele_attributes(v.ref, alleles[ai])
+            allele_stats[(
+                chrom_type, filt, t, str(length), str(sv_len),
+                "1" if redundant[ai] else "0", str(na), str(effective),
+                _fmt_f(acp[ai], 2), str(ac[ai]), str(an),
+                (alt_acos[ai - 1] if ai > 0 and alt_acos[ai - 1] != "."
+                 else "NA"),
+                str(hpl_len) if has_hpl_info else "NA",
+                ("1" if hpl_alleles[ai] else "0") if has_hpl_info else "NA",
+                *common_tail,
+                "NA" if min_nak[ai] is None else _fmt_f(min_nak[ai], 1),
+                "NA" if min_fak[ai] is None else _fmt_f(min_fak[ai], 2),
+            )] += 1
+
+        # variant type (Auxiliaries::variantType)
+        n_real_alts = len(v.alts) - int(has_missing)
+        if n_real_alts > 1:
+            vtype = "Multi"
+        else:
+            real_alt = next(
+                (a for a in v.alts if a not in ("*", ".")), v.alts[0]
+            )
+            vtype = _allele_attributes(v.ref, real_alt)[0]
+        variant_stats[(
+            chrom_type, filt, vtype, "1" if has_missing else "0",
+            "1" if any(redundant) else "0", str(na), str(effective),
+            _fmt_f(max_alt_acp, 2), str(max_alt_ac), str(an), var_aco,
+            str(hpl_len) if has_hpl_info else "NA", has_homopolymer,
+            *common_tail,
+        )] += 1
 
     with open(output_prefix + "_variant.txt", "w") as fh:
-        fh.write("Count\tFilter\tVariantType\tNumAlleles\tAN\n")
+        fh.write(_VARIANT_ATTRS + "\n")
         for key, count in sorted(variant_stats.items()):
             fh.write(f"{count}\t" + "\t".join(key) + "\n")
     with open(output_prefix + "_allele.txt", "w") as fh:
-        fh.write("Count\tFilter\tAlleleType\tAlleleLengthBin\tNumAlleles\tACO\n")
+        fh.write(_ALLELE_ATTRS + "\n")
         for key, count in sorted(allele_stats.items()):
             fh.write(f"{count}\t" + "\t".join(key) + "\n")
     return n_var, n_all

@@ -32,12 +32,59 @@ def test_get_summary(tmp_path):
         _var(400, "A", ["C", "G"]),
     ])
     nv, na = get_summary(src, str(tmp_path / "sum"))
-    assert (nv, na) == (4, 5)
+    # num_alleles counts ref + alts like the reference (numAlls())
+    assert (nv, na) == (4, 9)
     lines = open(str(tmp_path / "sum_allele.txt")).read().splitlines()
-    assert lines[0].startswith("Count\t")
-    assert any("SNV" in x for x in lines)
-    assert any("Deletion" in x for x in lines)
-    assert any("Insertion" in x for x in lines)
+    assert lines[0] == (
+        "Count\tChromType\tFilter\tAlleleType\tAlleleLength\tAlleleSVLength"
+        "\tIsRedundant\tNumAlleles\tEffectiveNumAlleles\tACP\tAC\tAN\tACO"
+        "\tHPL\tIsHomopolymer\tHTV\tNumCompleteSamples\tNumCONCTrue"
+        "\tNumCONCFalse\tBASE\tCALL\tGTCO\tMED\tMinNAK\tMinFAK"
+    )
+    assert any("\tSNP\t" in x for x in lines)
+    assert any("\tDeletion\t" in x for x in lines)
+    assert any("\tInsertion\t" in x for x in lines)
+    assert any("\tReference\t" in x for x in lines)
+    vlines = open(str(tmp_path / "sum_variant.txt")).read().splitlines()
+    assert vlines[0].startswith("Count\tChromType\tFilter\tVariantType")
+    assert any("\tMulti\t" in x for x in vlines)
+    assert all("Autosomal" in x for x in vlines[1:])
+
+
+def test_get_summary_genotyped(tmp_path):
+    meta = VcfMeta()
+    meta.contigs = [("chr1", 100000)]
+    meta.samples = ["s0", "s1"]
+    rows = [
+        VcfVariant(
+            "chr1", 100, [], "A", ["C"], None, [], {"ACO": "cs1:cs2"},
+            format_keys=["GT", "APP", "SAF", "NAK", "FAK"],
+            samples=[
+                {"GT": "0/1", "APP": "1,0.98", "SAF": "0,0",
+                 "NAK": "5,4", "FAK": "0.9,0.8"},
+                {"GT": "./.", "APP": "0.5,0.2", "SAF": "0,1",
+                 "NAK": "-1,-1", "FAK": "-1,-1"},
+            ],
+        ),
+    ]
+    with VcfWriter(str(tmp_path / "g.vcf"), meta) as w:
+        for r in rows:
+            w.write(r)
+    get_summary(str(tmp_path / "g.vcf"), str(tmp_path / "sum"))
+    vlines = open(str(tmp_path / "sum_variant.txt")).read().splitlines()
+    row = vlines[1].split("\t")
+    hdr = vlines[0].split("\t")
+    d = dict(zip(hdr, row))
+    assert d["AN"] == "2"                # one called diploid sample
+    assert d["EffectiveNumAlleles"] == "2"
+    assert d["MaxAltACP"] == "0.98"      # s1's filtered APP excluded
+    assert d["NumCompleteSamples"] == "1"
+    assert d["ACO"] == "cs1:cs2"
+    alines = open(str(tmp_path / "sum_allele.txt")).read().splitlines()
+    ad = [dict(zip(alines[0].split("\t"), x.split("\t")))
+          for x in alines[1:]]
+    alt = next(x for x in ad if x["AlleleType"] == "SNP")
+    assert alt["MinNAK"] == "4.0" and alt["MinFAK"] == "0.80"
 
 
 def test_write_indels(tmp_path):
