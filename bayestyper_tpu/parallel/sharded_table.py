@@ -91,7 +91,7 @@ class ShardedLaneTable:
         each key)."""
         import jax
         import jax.numpy as jnp
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         qh_h, qh_l = _split32(q_hi)
@@ -123,8 +123,12 @@ class ShardedLaneTable:
 
             # vectorised binary search: lo/hi per query (pvary: the carry
             # varies per shard inside shard_map, so the init must too)
-            lo_i = jax.lax.pvary(jnp.zeros(q.shape[0], jnp.int32), "data")
-            hi_i = jax.lax.pvary(jnp.full(q.shape[0], m, jnp.int32), "data")
+            lo_i = jax.lax.pcast(
+                jnp.zeros(q.shape[0], jnp.int32), "data", to="varying"
+            )
+            hi_i = jax.lax.pcast(
+                jnp.full(q.shape[0], m, jnp.int32), "data", to="varying"
+            )
 
             def body(_, carry):
                 lo_i, hi_i = carry

@@ -200,6 +200,7 @@ def main():
         burn_in=int(os.environ.get("HS_BURN", 100)),
         num_samples=int(os.environ.get("HS_SAMPLES", 250)),
         random_seed=1,
+        num_host_threads=os.cpu_count() or 1,
     )
     out_path = os.path.join(tmp, "genotypes.vcf")
     t0 = time.perf_counter()
