@@ -147,11 +147,11 @@ def register_scripts(sub):
         a.read_length))
 
     p = sub.add_parser("assessHaplotypeTransmissionSupport",
-                       help="trio transmission support summary")
+                       help="annotate HTV from a haplotype-transmissions "
+                            "file (founder haplotypes A-D per interval)")
     p.add_argument("-v", "--vcf-file", required=True)
+    p.add_argument("-t", "--transmissions-file", required=True)
     p.add_argument("-o", "--output-prefix", required=True)
-    p.add_argument("--trio-info", required=True,
-                   help="comma-separated trios <child>:<father>:<mother>")
     p.set_defaults(func=_cmd_transmission)
 
 
@@ -168,9 +168,8 @@ def _cmd_generate_diplotypes(args):
 def _cmd_transmission(args):
     from . import scripts
 
-    trios = [tuple(t.split(":")) for t in args.trio_info.split(",")]
     stats = scripts.assess_haplotype_transmission_support(
-        args.vcf_file, args.output_prefix + ".txt", trios
+        args.vcf_file, args.transmissions_file, args.output_prefix
     )
     print(f"assess_haplotype_transmission_support: {stats}")
     return 0

@@ -736,32 +736,97 @@ def _set_gtco(v, gtco):
         s["GTCO"] = g
 
 
-def assess_haplotype_transmission_support(vcf_path: str, out_path: str,
-                                          trios=None):
-    """Trio transmission support (assessHaplotypeTransmissionSupport.cpp
-    essence): per trio, the fraction of fully-called variants whose child
-    genotype is Mendelian-consistent with the parents; writes a TSV."""
-    from .add_attributes import _parse_gt, trio_concordant
+_HAP_IDX = {"A": 0, "B": 1, "C": 2, "D": 3}
+
+
+def _parse_transmissions(path: str, sample_ids):
+    """Parse the haplotype-transmissions file: a `#chrom start end s1 s2...`
+    header, then per-interval rows with 1-2 founder-haplotype letters
+    (A-D) per sample (assessHaplotypeTransmissionSupport.cpp:129-172)."""
+    idx = {}
+    sample_to_col = None
+    with open(path) as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if line.startswith("#"):
+                sample_to_col = {s: i for i, s in enumerate(parts[3:])}
+                continue
+            assert sample_to_col is not None, "missing header row"
+            conf = []
+            for s in sample_ids:
+                letters = parts[3 + sample_to_col[s]]
+                assert 1 <= len(letters) <= 2
+                conf.append(tuple(_HAP_IDX[c] for c in letters))
+            idx.setdefault(parts[0], []).append(
+                (int(parts[1]), int(parts[2]), conf)
+            )
+    for intervals in idx.values():
+        intervals.sort()
+    return idx
+
+
+def assess_haplotype_transmission_support(vcf_path: str,
+                                          transmissions_path: str,
+                                          out_prefix: str):
+    """Annotate variants with HTV: whether the called genotypes are
+    consistent with SOME assignment of alleles to the four founder
+    haplotypes given the per-interval inheritance vectors
+    (assessHaplotypeTransmissionSupport.cpp:95-341).
+
+    Per variant inside a haplotype block: enumerate every allele
+    assignment (numAlls^4 combinations over founders A-D); a combination
+    validates when every completely-called sample's sorted GT equals the
+    alleles at its inherited founder haplotypes. HTV = TRUE (exactly one
+    validating assignment), MULTI-TRUE (>1), FALSE (none), NA (outside a
+    block). Writes <prefix>.vcf and returns the counts dict."""
+    import itertools
+    from bisect import bisect_left
 
     reader = VcfReader(vcf_path, parse_samples=True)
-    name_to_idx = {n: i for i, n in enumerate(reader.meta.samples)}
-    trios = trios or []
-    stats = {t: [0, 0] for t in trios}  # concordant, total
-    for v in reader:
-        for t in trios:
-            child, father, mother = t
-            idx = [name_to_idx.get(x) for x in (child, father, mother)]
-            if any(i is None for i in idx):
-                continue
-            gts = [_parse_gt(v.samples[i]) for i in idx]
-            conc = trio_concordant(*gts)
-            if conc is None:
-                continue
-            stats[t][1] += 1
-            stats[t][0] += int(conc)
-    with open(out_path, "w") as fh:
-        fh.write("Child\tFather\tMother\tConcordant\tTotal\tFraction\n")
-        for (c, f, m), (conc, total) in stats.items():
-            frac = conc / total if total else -1
-            fh.write(f"{c}\t{f}\t{m}\t{conc}\t{total}\t{frac:.4g}\n")
-    return stats
+    sample_ids = reader.meta.samples
+    blocks = _parse_transmissions(transmissions_path, sample_ids)
+    meta = reader.meta
+    if "HTV" not in meta.info:
+        meta.add_info(
+            "HTV", 1, "String",
+            "Variant validated by haplotype transmission "
+            "(TRUE, MULTI-TRUE, FALSE, NA).",
+        )
+    counts = {"TRUE": 0, "MULTI-TRUE": 0, "FALSE": 0, "NA": 0}
+    with VcfWriter(out_prefix + ".vcf", meta) as w:
+        for v in reader:
+            intervals = blocks.get(v.chrom, [])
+            ends = [iv[1] for iv in intervals]
+            bi = bisect_left(ends, v.pos)
+            htv = "NA"
+            if bi < len(intervals):
+                start, end, conf = intervals[bi]
+                if start <= v.pos and v.pos + len(v.ref) - 1 <= end:
+                    na = 1 + len(v.alts)
+                    # observed sorted GTs for complete samples
+                    obs = []
+                    for si, s in enumerate(v.samples):
+                        gt = str(s.get("GT", ".")).replace("|", "/")
+                        parts = gt.split("/")
+                        if "." in parts or gt in (".", ""):
+                            obs.append(None)  # filtered/incomplete
+                        else:
+                            obs.append(sorted(int(x) for x in parts))
+                    n_valid = 0
+                    for comb in itertools.product(range(na), repeat=4):
+                        ok = True
+                        for si in range(len(sample_ids)):
+                            if obs[si] is None:
+                                continue
+                            expected = sorted(comb[h] for h in conf[si])
+                            if expected != obs[si]:
+                                ok = False
+                                break
+                        if ok:
+                            n_valid += 1
+                    htv = ("TRUE" if n_valid == 1 else
+                           "MULTI-TRUE" if n_valid > 1 else "FALSE")
+            v.info["HTV"] = htv
+            counts[htv] += 1
+            w.write(v)
+    return counts

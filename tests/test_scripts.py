@@ -237,25 +237,50 @@ def test_edit_distance_concordance(tmp_path):
 
 
 def test_transmission_support(tmp_path):
-    from bayestyper_tpu.io.vcf import VcfMeta, VcfVariant, VcfWriter
+    from bayestyper_tpu.io.vcf import VcfMeta, VcfVariant, VcfWriter, read_all
     from bayestyper_tpu.tools.scripts import (
         assess_haplotype_transmission_support,
     )
 
     meta = VcfMeta()
     meta.contigs = [("chr1", 1000)]
+    # trio: child inherits A (from father) + C (from mother);
+    # father = A/B, mother = C/D
     meta.samples = ["child", "father", "mother"]
     path = str(tmp_path / "trio.vcf")
     with VcfWriter(path, meta) as w:
+        # consistent: allele 1 on founder A, 0 on B/C/D ->
+        # child 0/1, father 0/1, mother 0/0 (validates; TRUE)
         w.write(VcfVariant("chr1", 10, [], "A", ["C"], None, [], {}, ["GT"],
-                           [{"GT": "0/1"}, {"GT": "0/0"}, {"GT": "1/1"}]))
+                           [{"GT": "0/1"}, {"GT": "0/1"}, {"GT": "0/0"}]))
+        # impossible: child hom-alt but father hom-ref -> FALSE
         w.write(VcfVariant("chr1", 20, [], "A", ["C"], None, [], {}, ["GT"],
                            [{"GT": "1/1"}, {"GT": "0/0"}, {"GT": "1/1"}]))
-    stats = assess_haplotype_transmission_support(
-        path, str(tmp_path / "out.txt"),
-        trios=[("child", "father", "mother")],
+        # all hom-ref: every founder assignment of a never-seen alt still
+        # validates only with all founders = 0 for seen samples... the
+        # all-ref assignment validates, plus assignments that put allele 1
+        # on no inherited founder slot -> MULTI-TRUE is impossible here
+        # since all four founders are inherited by someone; assignment is
+        # unique -> TRUE
+        w.write(VcfVariant("chr1", 30, [], "A", ["C"], None, [], {}, ["GT"],
+                           [{"GT": "0/0"}, {"GT": "0/0"}, {"GT": "0/0"}]))
+        # outside any block -> NA
+        w.write(VcfVariant("chr1", 900, [], "A", ["C"], None, [], {}, ["GT"],
+                           [{"GT": "0/0"}, {"GT": "0/0"}, {"GT": "0/0"}]))
+    trans = str(tmp_path / "trans.txt")
+    with open(trans, "w") as fh:
+        fh.write("#chrom\tstart\tend\tchild\tfather\tmother\n")
+        fh.write("chr1\t1\t100\tAC\tAB\tCD\n")
+    counts = assess_haplotype_transmission_support(
+        path, trans, str(tmp_path / "out")
     )
-    assert stats[("child", "father", "mother")] == [1, 2]
+    assert counts["NA"] == 1
+    assert counts["FALSE"] == 1
+    assert counts["TRUE"] == 2
+    _, rows = read_all(str(tmp_path / "out.vcf"))
+    assert [r.info_get("HTV") for r in rows] == [
+        "TRUE", "FALSE", "TRUE", "NA"
+    ]
 
 
 def test_convert_nested_genotypes(tmp_path):
