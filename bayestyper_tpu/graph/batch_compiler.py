@@ -39,27 +39,20 @@ _CHUNK_BYTES = 48 * 1024 * 1024
 _CHUNK_CLUSTERS = 200_000
 
 
-def _fast_paths(cluster, chrom_seq: bytes, kmer_size: int):
+def _fast_span(cluster, chrom_len: int, kmer_size: int):
     """Single-variant, no-containment fast path: haplotypes = alleles.
 
     Equivalent to enumerate_paths for this shape (every allele is one path;
-    flanks are k-1 clamped to the chromosome) without the beam machinery.
-    Returns list of (allele_indices, seq_bytes, spans) like _PathSet rows.
+    flanks are k-1 clamped to the chromosome) without materialising any
+    sequence: the chunk buffer is assembled from (left, right) genome spans
+    + the alt literals by bt_assemble_paths. Every path k-mer crosses the
+    single variant, so no spans are needed either.
     """
     v = cluster.variants[0]
     flank = kmer_size - 1
     left = max(v.pos - flank, 0)
-    right = min(v.end + flank, len(chrom_seq))
-    a = v.pos - left
-    paths = []
-    # reference allele
-    paths.append(([0], chrom_seq[left:right], [(a, a + len(v.ref))]))
-    lflank = chrom_seq[left : v.pos]
-    rflank = chrom_seq[v.end : right]
-    for ai, alt in enumerate(v.alts):
-        seq = lflank + alt.encode() + rflank
-        paths.append(([ai + 1], seq, [(a, a + len(alt))]))
-    return paths
+    right = min(v.end + flank, chrom_len)
+    return left, right
 
 
 def _fast_product_paths(variants, chrom_seq: bytes, kmer_size: int,
@@ -156,8 +149,12 @@ def _compile_all(clusters, genome, kmer_size, sample_blooms,
                  max_sample_haplotypes, child_spans_by_id, log, out):
 
     # ---- phase 1: per-cluster path enumeration (irregular host work) ----
-    # path rows: (cluster_idx, allele_indices, seq_bytes, spans, retained)
+    # pathsets rows: (cluster_idx, n_paths, payload, fast) where payload is
+    # a (left, right) genome span for fast single-variant clusters (the
+    # dominant shape: no sequence is materialised) or
+    # (allele_lists, seq_bytes_list, spans_list, retained_list) otherwise
     pathsets = []
+    chrom_len_cache = {}
     for ci, cl in enumerate(clusters):
         spans = child_spans_by_id.get(cl.cluster_id, ())
         if (
@@ -165,11 +162,14 @@ def _compile_all(clusters, genome, kmer_size, sample_blooms,
             and not spans
             and not cl.variants[0].has_dependency
         ):
-            rows = _fast_paths(cl, genome[cl.chrom], kmer_size)
-            pathsets.append(
-                (ci, [r[0] for r in rows], [r[1] for r in rows],
-                 [r[2] for r in rows], [frozenset()] * len(rows), True)
-            )
+            cl_len = chrom_len_cache.get(cl.chrom)
+            if cl_len is None:
+                cl_len = len(genome[cl.chrom])
+                chrom_len_cache[cl.chrom] = cl_len
+            pathsets.append((
+                ci, 1 + len(cl.variants[0].alts),
+                _fast_span(cl, cl_len, kmer_size), True,
+            ))
         else:
             variants = sorted(cl.variants, key=lambda v: (v.pos, -len(v.ref)))
             rows = None
@@ -181,10 +181,12 @@ def _compile_all(clusters, genome, kmer_size, sample_blooms,
                 )
             if rows is not None:
                 cl.variants = variants
-                pathsets.append(
-                    (ci, [r[0] for r in rows], [r[1] for r in rows],
-                     [r[2] for r in rows], [frozenset()] * len(rows), False)
-                )
+                pathsets.append((
+                    ci, len(rows),
+                    ([r[0] for r in rows], [r[1] for r in rows],
+                     [r[2] for r in rows], [frozenset()] * len(rows)),
+                    False,
+                ))
                 continue
             variants = mark_dependencies(variants)
             cl.variants = variants
@@ -192,14 +194,14 @@ def _compile_all(clusters, genome, kmer_size, sample_blooms,
                 cl, genome[cl.chrom], kmer_size, sample_blooms,
                 max_sample_haplotypes, child_spans=spans,
             )
-            pathsets.append(
-                (ci,
-                 [p.allele_indices for p in paths],
+            pathsets.append((
+                ci, len(paths),
+                ([p.allele_indices for p in paths],
                  [p.seq.encode() for p in paths],
                  [p.variant_spans for p in paths],
-                 [p.retained_children for p in paths],
-                 False)
-            )
+                 [p.retained_children for p in paths]),
+                False,
+            ))
 
     # ---- phase 2: group by (V, H) size class so the flat member array
     # [n_unique, Vmax, Hmax] of each chunk stays tight (mixing one dense
@@ -214,7 +216,7 @@ def _compile_all(clusters, genome, kmer_size, sample_blooms,
         range(len(pathsets)),
         key=lambda i: (
             _cls(len(clusters[pathsets[i][0]].variants)),
-            _cls(len(pathsets[i][1])),
+            _cls(pathsets[i][1]),
         ),
     )
 
@@ -229,8 +231,16 @@ def _compile_all(clusters, genome, kmer_size, sample_blooms,
     chunk_cls = None
     for oi in order:
         ps = pathsets[oi]
-        nbytes = sum(len(s) for s in ps[2])
-        cls = (_cls(len(clusters[ps[0]].variants)), _cls(len(ps[1])))
+        ci, n_paths, payload, fast = ps
+        if fast:
+            left, right = payload
+            v = clusters[ci].variants[0]
+            nbytes = (right - left) + sum(
+                (v.pos - left) + len(a) + (right - v.end) for a in v.alts
+            )
+        else:
+            nbytes = sum(len(s) for s in payload[1])
+        cls = (_cls(len(clusters[ci].variants)), _cls(n_paths))
         if chunk and (
             cls != chunk_cls
             or chunk_bytes + nbytes > _CHUNK_BYTES
@@ -247,36 +257,105 @@ def _compile_all(clusters, genome, kmer_size, sample_blooms,
     if len(chunks) > 1:
         with ThreadPoolExecutor(max_workers=2) as pool:
             list(pool.map(
-                lambda ch: _compile_chunk(ch, clusters, kmer_size, out),
+                lambda ch: _compile_chunk(ch, clusters, genome, kmer_size,
+                                          out),
                 chunks,
             ))
     else:
         for ch in chunks:
-            _compile_chunk(ch, clusters, kmer_size, out)
+            _compile_chunk(ch, clusters, genome, kmer_size, out)
     return out
 
 
-def _compile_chunk(pathsets, clusters, kmer_size, out):
+def _assemble_chunk_buffer(pathsets, clusters, genome):
+    """Flatten a chunk's paths into the 'N'-joined buffer via genome-span +
+    literal segments (bt_assemble_paths): fast clusters never materialise
+    their sequences; other clusters route their pre-built bytes through the
+    literal pool. Returns (buf uint8, offsets [n+1], path_cluster, path_hap).
+    """
+    from .. import native
+
+    n_paths = sum(ps[1] for ps in pathsets)
+    g0 = np.zeros(n_paths, np.int64)
+    g1 = np.zeros(n_paths, np.int64)
+    l_len = np.zeros(n_paths, np.int64)
+    g2 = np.zeros(n_paths, np.int64)
+    g3 = np.zeros(n_paths, np.int64)
+    gsrc = np.zeros(n_paths, np.int64)
+    path_cluster = np.empty(n_paths, np.int64)
+    path_hap = np.empty(n_paths, np.int64)
+    lit_parts = []
+    genome_bufs = []
+    buf_idx = {}
+    p = 0
+    for li, (ci, np_i, payload, fast) in enumerate(pathsets):
+        path_cluster[p : p + np_i] = li
+        path_hap[p : p + np_i] = np.arange(np_i)
+        if fast:
+            cl = clusters[ci]
+            bi = buf_idx.get(cl.chrom)
+            if bi is None:
+                bi = len(genome_bufs)
+                seq = genome[cl.chrom]
+                genome_bufs.append(
+                    np.ascontiguousarray(np.frombuffer(seq, np.uint8))
+                )
+                buf_idx[cl.chrom] = bi
+            left, right = payload
+            v = cl.variants[0]
+            gsrc[p : p + np_i] = bi
+            # ref path: one genome span
+            g0[p], g1[p] = left, right
+            # alt paths: left flank + alt literal + right flank
+            for ai, alt in enumerate(v.alts):
+                j = p + 1 + ai
+                g0[j], g1[j] = left, v.pos
+                lit_parts.append(alt.encode())
+                l_len[j] = len(alt)
+                g2[j], g3[j] = v.end, right
+        else:
+            for pi, s in enumerate(payload[1]):
+                lit_parts.append(s)
+                l_len[p + pi] = len(s)
+        p += np_i
+
+    l1 = np.cumsum(l_len)
+    l0 = l1 - l_len
+    lit = np.frombuffer(b"".join(lit_parts), np.uint8) if lit_parts else \
+        np.zeros(0, np.uint8)
+    if native.available():
+        buf, offsets = native.assemble_paths(
+            genome_bufs, gsrc, lit, g0, g1, l0, l1, g2, g3
+        )
+    else:
+        parts = []
+        offsets = np.zeros(n_paths + 1, np.int64)
+        pos = 0
+        for i in range(n_paths):
+            offsets[i] = pos
+            seg = []
+            if g1[i] > g0[i]:
+                seg.append(genome_bufs[gsrc[i]][g0[i]:g1[i]])
+            if l1[i] > l0[i]:
+                seg.append(lit[l0[i]:l1[i]])
+            if g3[i] > g2[i]:
+                seg.append(genome_bufs[gsrc[i]][g2[i]:g3[i]])
+            seg.append(np.frombuffer(b"N", np.uint8))
+            row = np.concatenate(seg)
+            parts.append(row)
+            pos += len(row)
+        offsets[n_paths] = pos
+        buf = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    return buf, offsets, path_cluster, path_hap
+
+
+def _compile_chunk(pathsets, clusters, genome, kmer_size, out):
     """Batched k-mer work for one chunk of clusters."""
     k = kmer_size
-    sep = b"N"
 
-    # flatten paths: offsets, cluster-of-path, hap index within cluster
-    seqs = []
-    path_cluster = []   # chunk-local cluster index per path
-    path_hap = []
-    for li, (ci, alleles, pseqs, spans, retained, fast) in enumerate(pathsets):
-        for pi, s in enumerate(pseqs):
-            seqs.append(s)
-            path_cluster.append(li)
-            path_hap.append(pi)
-    n_paths = len(seqs)
-    lens = np.fromiter((len(s) for s in seqs), np.int64, n_paths)
-    offsets = np.zeros(n_paths + 1, np.int64)
-    np.cumsum(lens + 1, out=offsets[1:])  # +1 for the separator
-    buf = sep.join(seqs) + sep
-    path_cluster = np.asarray(path_cluster, np.int64)
-    path_hap = np.asarray(path_hap, np.int64)
+    buf, offsets, path_cluster, path_hap = _assemble_chunk_buffer(
+        pathsets, clusters, genome
+    )
 
     from .. import native
 
@@ -300,7 +379,7 @@ def _compile_chunk(pathsets, clusters, kmer_size, out):
     # each segment by (hi, lo), emits the unique tables, per-entry unique
     # rows and the [unique, Hmax] multiplicity matrix (bt_cluster_tables);
     # the numpy fallback does the same in ~10 vectorised passes
-    h_max = max((len(ps[1]) for ps in pathsets), default=1)
+    h_max = max((ps[1] for ps in pathsets), default=1)
     v_max = max((len(clusters[ps[0]].variants) for ps in pathsets), default=1)
     n = len(hi)
     if have_native:
@@ -343,7 +422,7 @@ def _compile_chunk(pathsets, clusters, kmer_size, out):
     # ---- membership: [n_unique, Vmax, Hmax] ----
     # fast single-variant clusters: every path kmer crosses the variant
     member_flat = np.zeros((max(n_unique, 1), v_max, h_max), bool)
-    fast_mask = np.fromiter((ps[5] for ps in pathsets), bool, len(pathsets))
+    fast_mask = np.fromiter((ps[3] for ps in pathsets), bool, len(pathsets))
     if fast_mask.any():
         fast_entries = fast_mask[ecl]
         member_flat[urow[fast_entries], 0, ehap[fast_entries]] = True
@@ -352,15 +431,14 @@ def _compile_chunk(pathsets, clusters, kmer_size, out):
     # ordered entry array via two vectorised searchsorteds on global positions
     sp_q0, sp_q1, sp_vi, sp_hap = [], [], [], []
     gpid = 0
-    for li, (ci, alleles, pseqs, spans_list, retained, fast) in enumerate(
-        pathsets
-    ):
+    for li, (ci, np_i, payload, fast) in enumerate(pathsets):
         if fast:
-            gpid += len(pseqs)
+            gpid += np_i
             continue
-        for pi, spans in enumerate(spans_list):
+        spans_lists = payload[2]
+        for pi, spans in enumerate(spans_lists):
             off = offsets[gpid]
-            plen = len(pseqs[pi])
+            plen = offsets[gpid + 1] - offsets[gpid] - 1  # minus separator
             for vi, span in enumerate(spans):
                 if span is None:
                     continue
@@ -404,12 +482,10 @@ def _compile_chunk(pathsets, clusters, kmer_size, out):
     # step copies only when exclusions bind) ----
     hap_cache = {}   # h -> shared [h, 1] identity hap_allele (fast clusters)
     retain_cache = {}  # h -> shared [h, 0] retains
-    for li, (ci, alleles, pseqs, spans_list, retained, fast) in enumerate(
-        pathsets
-    ):
+    for li, (ci, np_i, payload, fast) in enumerate(pathsets):
         cl = clusters[ci]
         variants = cl.variants
-        h = len(pseqs)
+        h = np_i
         v = len(variants)
         a0, a1 = k_off[li], k_off[li + 1]
         kmer_hi = u_hi[a0:a1]
@@ -428,11 +504,11 @@ def _compile_chunk(pathsets, clusters, kmer_size, out):
                 retain_cache[h] = retains
         else:
             hap_allele = np.zeros((h, v), np.int16)
-            for pi, ai in enumerate(alleles):
+            for pi, ai in enumerate(payload[0]):
                 hap_allele[pi] = ai
             n_children = len(cl.children_ids)
             retains = np.zeros((h, n_children), bool)
-            for pi, r in enumerate(retained):
+            for pi, r in enumerate(payload[3]):
                 for idx in r:
                     retains[pi, idx] = True
 

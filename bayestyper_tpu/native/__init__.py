@@ -77,6 +77,8 @@ def get_lib():
     lib.bt_multigroup_pass.argtypes = [u64p, u64p, u8p, i64, i64p, u64p,
                                        u64p, u8p, u8p, i64p]
     lib.bt_multigroup_pass.restype = i64
+    lib.bt_assemble_paths.argtypes = [u64p, i64p, u8p, i64p, i64p, i64p,
+                                      i64p, i64p, i64p, i64, u8p, i64p]
     lib.bt_entry_paths.argtypes = [i64p, i64, i64p, i64, i64p]
     lib.bt_member_spans.argtypes = [i64p, i64, i64p, i64p, i64p, i64p, i64p,
                                     i64, i64, i64, u8p]
@@ -180,6 +182,29 @@ def pair_unique(hi, lo):
         np.ascontiguousarray(lo, np.uint64), n, midx, rep, scratch,
     )
     return midx, rep[:nu]
+
+
+def assemble_paths(genome_bufs, gsrc, lit, g0, g1, l0, l1, g2, g3):
+    """Assemble the 'N'-joined path buffer from genome spans + a literal
+    pool. genome_bufs: list of contiguous uint8 arrays (indexed by gsrc).
+    Returns (buffer bytes-like uint8 array, path_off [n+1])."""
+    lib = get_lib()
+    n = len(gsrc)
+    ptrs = np.fromiter(
+        (b.ctypes.data for b in genome_bufs), np.uint64, len(genome_bufs)
+    ) if genome_bufs else np.zeros(1, np.uint64)
+    total = int((g1 - g0).sum() + (l1 - l0).sum() + (g3 - g2).sum()) + n
+    out = np.empty(total, np.uint8)
+    path_off = np.empty(n + 1, np.int64)
+    lib.bt_assemble_paths(
+        ptrs, np.ascontiguousarray(gsrc, np.int64),
+        np.ascontiguousarray(lit, np.uint8),
+        np.ascontiguousarray(g0, np.int64), np.ascontiguousarray(g1, np.int64),
+        np.ascontiguousarray(l0, np.int64), np.ascontiguousarray(l1, np.int64),
+        np.ascontiguousarray(g2, np.int64), np.ascontiguousarray(g3, np.int64),
+        n, out, path_off,
+    )
+    return out, path_off
 
 
 def multigroup_pass(hi, lo, member_any):

@@ -291,6 +291,35 @@ int64_t bt_pair_unique(const uint64_t* hi, const uint64_t* lo, int64_t n,
     return u1 + u2;
 }
 
+// --- path buffer assembly ---------------------------------------------
+//
+// Writes the batch compiler's chunk buffer (path sequences joined by 'N')
+// directly from genome spans and a literal (alt-sequence) pool, replacing
+// per-path Python bytes slicing + join. Each path is three segments:
+// genome[g0:g1) + literal[l0:l1) + genome[g2:g3) + 'N'. Offsets of each
+// path start are returned in path_off (n_paths + 1, includes the final
+// end = total buffer length).
+void bt_assemble_paths(const uint64_t* genome_ptrs, const int64_t* gsrc,
+                       const uint8_t* lit,
+                       const int64_t* g0, const int64_t* g1,
+                       const int64_t* l0, const int64_t* l1,
+                       const int64_t* g2, const int64_t* g3,
+                       int64_t n_paths, uint8_t* out, int64_t* path_off) {
+    int64_t p = 0;
+    for (int64_t i = 0; i < n_paths; ++i) {
+        path_off[i] = p;
+        const uint8_t* genome = (const uint8_t*)genome_ptrs[gsrc[i]];
+        int64_t m = g1[i] - g0[i];
+        if (m > 0) { std::memcpy(out + p, genome + g0[i], m); p += m; }
+        m = l1[i] - l0[i];
+        if (m > 0) { std::memcpy(out + p, lit + l0[i], m); p += m; }
+        m = g3[i] - g2[i];
+        if (m > 0) { std::memcpy(out + p, genome + g2[i], m); p += m; }
+        out[p++] = 'N';
+    }
+    path_off[n_paths] = p;
+}
+
 // --- fused multigroup pass ---------------------------------------------
 //
 // bt_pair_unique plus everything the cluster phase derives from it, fused
