@@ -293,12 +293,21 @@ def count_kmers_from_sequences(seqs, k: int, min_count: int = 1):
         return z, z, z
     hi = np.concatenate(all_hi)
     lo = np.concatenate(all_lo)
-    order = np.lexsort((lo, hi))
-    hi, lo = hi[order], lo[order]
-    boundary = np.ones(len(hi), dtype=bool)
-    boundary[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
-    starts = np.flatnonzero(boundary)
-    counts = np.diff(np.append(starts, len(hi))).astype(np.uint64)
-    uh, ul = hi[starts], lo[starts]
+
+    from .. import native
+
+    if native.available() and len(hi):
+        # MSB-bucketed sort+unique (~8x the 2-key lexsort at read scale)
+        midx, rep = native.pair_unique(hi, lo)
+        counts = np.bincount(midx, minlength=len(rep)).astype(np.uint64)
+        uh, ul = hi[rep], lo[rep]
+    else:
+        order = np.lexsort((lo, hi))
+        hi, lo = hi[order], lo[order]
+        boundary = np.ones(len(hi), dtype=bool)
+        boundary[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        starts = np.flatnonzero(boundary)
+        counts = np.diff(np.append(starts, len(hi))).astype(np.uint64)
+        uh, ul = hi[starts], lo[starts]
     keep = counts >= min_count
     return uh[keep], ul[keep], counts[keep]
