@@ -28,7 +28,6 @@ from ..constants import (
 from ..ops.kmers import encode_bases, kmer_lanes
 from .compiler import (
     CompiledCluster,
-    HaplotypePath,
     enumerate_paths,
     mark_dependencies,
 )
