@@ -1008,8 +1008,31 @@ def _build_bucket_batch(fcs, size_class, samples, ploidy_model, ucounts,
     )
 
 
+def _bucket_cached(cache, fcs, caps, samples, ploidy_model, ucounts, seed,
+                   store=True):
+    """Build (or fetch) the device ClusterBucket for one cluster chunk.
+
+    The cache is shared between the noise phase and the genotype wave loop:
+    identical (cluster ids, padded caps) chunks produce identical device
+    arrays (streams are cluster-keyed), so each is built and transferred
+    once per unit. The consumer pops entries (store=False) so HBM residency
+    is bounded by the noise batch."""
+    key = (tuple(fc.cluster_id for fc in fcs), caps)
+    if cache is not None:
+        hit = cache.pop(key, None)
+        if hit is not None:
+            return hit
+    bucket = _build_bucket_batch(
+        fcs, caps, samples, ploidy_model, ucounts, seed
+    ).device_arrays()
+    if cache is not None and store:
+        cache[key] = bucket
+    return bucket
+
+
 def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
-                   opts: GenotypeOptions, ucounts=None, genomic_tables=None):
+                   opts: GenotypeOptions, ucounts=None, genomic_tables=None,
+                   bucket_cache=None):
     """Noise rate estimation over single-cluster groups of EVERY size class
     (estimateNoise, InferenceEngine.cpp:135-276; group selection :141-151
     has no size restriction). Clusters are bucketed per size class and all
@@ -1050,6 +1073,12 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     by_class = defaultdict(list)
     for fc in batch:
         by_class[_size_class(fc)].append(fc)
+    # within-class order normalised to cluster_id so chunks coincide with
+    # the genotype wave chunks and the built device buckets can be shared
+    # (results are invariant: subsample/Gibbs streams are cluster-keyed and
+    # the per-iteration noise statistics pool exactly across buckets)
+    for cls_fcs in by_class.values():
+        cls_fcs.sort(key=lambda fc: fc.cluster_id)
 
     tables = jnp.asarray(
         np_build_count_log_prob_tables(
@@ -1072,9 +1101,10 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
         for start in range(0, len(cls_fcs), c_limit):
             fcs = cls_fcs[start : start + c_limit]
             c_pad = _pad_clusters(len(fcs), mesh)
-            bucket = _build_bucket_batch(
-                fcs, (c_pad, k, h, v), samples, ploidy_model, ucounts, seed
-            ).device_arrays()
+            bucket = _bucket_cached(
+                bucket_cache, fcs, (c_pad, k, h, v), samples, ploidy_model,
+                ucounts, seed,
+            )
             if mesh is not None:
                 bucket, tables = _shard_for_mesh(bucket, tables, mesh)
             buckets.append(bucket)
@@ -1205,10 +1235,12 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     from .ops.distributions import np_build_genomic_tables
 
     genomic64 = np_build_genomic_tables(nb_params.p, nb_params.size, 255)
+    bucket_cache = {}
     with _Profiler():
         noise_rates, noise_traces = estimate_noise(
             unit, samples, table, counts, ploidy_model, nb_params, opts,
             ucounts=ucounts, genomic_tables=genomic64,
+            bucket_cache=bucket_cache,
         )
     _log_rss("noise estimation")
     write_noise_parameters(prefix, samples, noise_traces, noise_rates)
@@ -1326,11 +1358,11 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     for wave in waves:
         buckets, outcomes_list, cfgs = [], [], []
         for item in wave:
-            bucket = _build_bucket_batch(
-                item["chunk"], (item["c_pad"], item["k"], item["h"],
-                                item["v"]),
-                samples, ploidy_model, ucounts, seed,
-            ).device_arrays()
+            bucket = _bucket_cached(
+                bucket_cache, item["chunk"],
+                (item["c_pad"], item["k"], item["h"], item["v"]),
+                samples, ploidy_model, ucounts, seed, store=False,
+            )
             if mesh is not None:
                 bucket, tables = _shard_for_mesh(bucket, tables, mesh)
             buckets.append(bucket)
@@ -1363,6 +1395,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
         _log(f"Genotyped {num_genotyped} variants")
 
     emitter.close()
+    bucket_cache.clear()
     if nested:
         num_genotyped += _genotype_nested_set(
             nested, samples, ploidy_model, ucounts, tables_local,
