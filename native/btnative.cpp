@@ -512,6 +512,30 @@ void bt_kmc_decode(const uint8_t* records, int64_t n, int32_t rec_size,
                    const uint64_t* prefixes, int32_t lut_len, int32_t k,
                    uint64_t* hi, uint64_t* lo, uint64_t* counts) {
     const int32_t n_hi = k < 27 ? k : 27;
+    // byte-aligned fast path: when the hi/lo lane boundary falls on a
+    // suffix-byte boundary, each suffix byte is 4 big-endian 2-bit bases
+    // and lanes assemble by byte concatenation (~4x fewer shift/or ops)
+    const int32_t hi_suf_bases = n_hi - lut_len;
+    if (hi_suf_bases >= 0 && hi_suf_bases % 4 == 0 &&
+        lut_len + 4 * sufix_bytes == k) {
+        const int32_t hb = hi_suf_bases / 4;       // suffix bytes in hi
+        const int32_t lb = sufix_bytes - hb;       // suffix bytes in lo
+        for (int64_t r = 0; r < n; ++r) {
+            const uint8_t* rec = records + r * rec_size;
+            uint64_t h = prefixes[r];
+            for (int32_t j = 0; j < hb; ++j) h = (h << 8) | rec[j];
+            uint64_t l = 0;
+            for (int32_t j = 0; j < lb; ++j) l = (l << 8) | rec[hb + j];
+            uint64_t c = 0;
+            for (int32_t cb = 0; cb < counter_bytes; ++cb) {
+                c |= (uint64_t)rec[sufix_bytes + cb] << (8 * cb);
+            }
+            hi[r] = h;
+            lo[r] = l;
+            counts[r] = c;
+        }
+        return;
+    }
     for (int64_t r = 0; r < n; ++r) {
         const uint8_t* rec = records + r * rec_size;
         uint64_t h = 0, l = 0;
