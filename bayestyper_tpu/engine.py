@@ -19,6 +19,7 @@ Genotype phase (bayesTyper genotype, main.cpp:360-647):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import pickle
 import time
 from collections import defaultdict
@@ -113,6 +114,16 @@ class LaneTable:
 
     @classmethod
     def from_unsorted_unique(cls, hi, lo):
+        from . import native
+
+        if native.available() and len(hi):
+            # MSB-bucketed sort+unique (bt_pair_unique) — the 2-key lexsort
+            # was ~1.3s of every genotype phase at unit scale
+            _, rep = native.pair_unique(hi, lo)
+            t = cls.__new__(cls)
+            t.hi = np.ascontiguousarray(hi[rep])
+            t.lo = np.ascontiguousarray(lo[rep])
+            return t
         t = cls(hi, lo)
         if len(t.hi):
             keep = np.ones(len(t.hi), bool)
@@ -1008,6 +1019,111 @@ def _build_bucket_batch(fcs, size_class, samples, ploidy_model, ucounts,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _unpack_bucket_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def unpack(flat_counts, flat_inter_fm, flat_mult, flat_member, lens,
+               gcol, k):
+        """Reconstruct the dense padded [C, K, *] bucket tensors from the
+        ragged per-kmer rows: the host->device tunnel pays only for REAL
+        kmers (fill rates run 25-50%) and for 2 intercluster columns
+        (female/male) instead of S gender-resolved copies. Reconstruction
+        is bit-exact vs the host-side dense build (padding rows are
+        zeros, kmer slots are cluster-contiguous)."""
+        csum = jnp.cumsum(lens)
+        offs = csum - lens
+        j = jnp.arange(k, dtype=lens.dtype)
+        src = offs[:, None] + j[None, :]                  # [C, K]
+        valid = j[None, :] < lens[:, None]
+        n_pad = flat_counts.shape[0]
+        src = jnp.where(valid, src, n_pad)                # OOB -> zero row
+
+        def ex(flat):
+            ext = jnp.concatenate(
+                [flat, jnp.zeros((1,) + flat.shape[1:], flat.dtype)], axis=0
+            )
+            return ext[src]
+
+        counts = ex(flat_counts)                          # [C, K, S]
+        fm = ex(flat_inter_fm)                            # [C, K, 2]
+        inter = jnp.take(fm, gcol, axis=2)                # [C, K, S]
+        mult = ex(flat_mult)                              # [C, K, H]
+        member = ex(flat_member)                          # [C, K, V, W]
+        return counts, inter, mult, member, valid
+
+    return unpack
+
+
+# packed upload pays an extra unpack program launch; below this dense size
+# the plain transfer wins
+_PACKED_UPLOAD_MIN_BYTES = 4 << 20
+
+
+def _device_bucket(bucket, fcs, samples):
+    """Move a host bucket to the device, ragged-packed when large enough."""
+    import jax.numpy as jnp
+
+    dense_bytes = bucket.counts.nbytes + bucket.inter_mult.nbytes \
+        + bucket.mult.nbytes + bucket.member.nbytes
+    if dense_bytes < _PACKED_UPLOAD_MIN_BYTES or not fcs:
+        return bucket.device_arrays()
+
+    kv = bucket.kmer_valid
+    lens = kv.sum(axis=1).astype(np.int32)
+    flat_counts = bucket.counts[kv]
+    flat_mult = bucket.mult[kv]
+    flat_member = bucket.member[kv]
+    # intercluster multiplicity as (female, male) columns — the per-sample
+    # gender resolve happens on device (2 columns cross the tunnel, not S)
+    flat_inter_fm = np.stack(
+        [
+            np.concatenate([fc.inter_mult_female for fc in fcs]),
+            np.concatenate([fc.inter_mult_male for fc in fcs]),
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    assert len(flat_inter_fm) == len(flat_counts)
+
+    n = len(flat_counts)
+    n_pad = _pow2_at_least(max(n, 1), 4096)
+    pad = n_pad - n
+
+    def fp(a):
+        return np.concatenate(
+            [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+        )
+
+    gcol = np.fromiter(
+        (0 if smp.gender == GENDER_FEMALE else 1 for smp in samples),
+        np.int32, len(samples),
+    )
+    counts, inter, mult, member, kmer_valid = _unpack_bucket_jit()(
+        fp(flat_counts), fp(flat_inter_fm), fp(flat_mult), fp(flat_member),
+        lens, gcol, k=bucket.counts.shape[1],
+    )
+    from .model.buckets import ClusterBucket
+
+    return ClusterBucket(
+        mult=mult,
+        inter_mult=inter,
+        counts=counts,
+        kmer_valid=kmer_valid,
+        hap_valid=jnp.asarray(bucket.hap_valid),
+        ploidy=jnp.asarray(bucket.ploidy),
+        hap_allele=jnp.asarray(bucket.hap_allele),
+        num_alleles=jnp.asarray(bucket.num_alleles),
+        variant_valid=jnp.asarray(bucket.variant_valid),
+        member=member,
+        use_sparse=jnp.asarray(bucket.use_sparse),
+        sparsity=jnp.asarray(bucket.sparsity),
+        cluster_id=jnp.asarray(bucket.cluster_id),
+        cluster_valid=jnp.asarray(bucket.cluster_valid),
+    )
+
+
 def _bucket_cached(cache, fcs, caps, samples, ploidy_model, ucounts, seed,
                    store=True):
     """Build (or fetch) the device ClusterBucket for one cluster chunk.
@@ -1022,9 +1138,10 @@ def _bucket_cached(cache, fcs, caps, samples, ploidy_model, ucounts, seed,
         hit = cache.pop(key, None)
         if hit is not None:
             return hit
-    bucket = _build_bucket_batch(
-        fcs, caps, samples, ploidy_model, ucounts, seed
-    ).device_arrays()
+    bucket = _device_bucket(
+        _build_bucket_batch(fcs, caps, samples, ploidy_model, ucounts, seed),
+        fcs, samples,
+    )
     if cache is not None and store:
         cache[key] = bucket
     return bucket

@@ -438,9 +438,18 @@ def compute_noise_terms(bucket: ClusterBucket, outcomes: OutcomeSpace, w,
 
 
 def _sample_outcomes(key, logits):
-    # one batched Gumbel draw for all samples (independent per (s, o))
-    g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
-    return jnp.argmax(logits + g, axis=-1)
+    """Categorical outcome per sample via max-shifted inverse CDF
+    (LogDiscreteSampler::sample, DiscreteSampler.cpp:106-126): ONE uniform
+    per sample instead of one Gumbel per outcome — the per-outcome threefry
+    bits dominated the Gibbs step for large outcome spaces (O = 2145 at
+    H = 64)."""
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    csum = jnp.cumsum(p, axis=-1)
+    u = jax.random.uniform(
+        key, logits.shape[:-1] + (1,), dtype=logits.dtype
+    ) * csum[..., -1:]
+    return jnp.sum((csum <= u).astype(jnp.int32), axis=-1)
 
 
 # outcome-selection strategy threshold: a masked one-hot reduction costs O

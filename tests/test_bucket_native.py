@@ -80,3 +80,27 @@ def test_native_bucket_matches_fallback(monkeypatch):
         assert a.dtype == b.dtype, f.name
         assert a.shape == b.shape, f.name
         np.testing.assert_array_equal(a, b, err_msg=f.name)
+
+
+def test_packed_upload_bit_exact(monkeypatch):
+    """The ragged packed upload (_device_bucket) must reconstruct the exact
+    dense bucket tensors that device_arrays() would have transferred."""
+    from bayestyper_tpu import engine
+
+    rng = np.random.default_rng(7)
+    s = 3
+    samples = [Sample(f"s{i}", i % 2, "") for i in range(s)]
+    ploidy = _FakePloidy({"chr1": [2] * s})
+    fcs, ucounts = _mk_inputs(rng, s)
+    caps = (32, 64, 16, 4)
+
+    host = _build_bucket_batch(fcs, caps, samples, ploidy, ucounts, 42)
+    monkeypatch.setattr(engine, "_PACKED_UPLOAD_MIN_BYTES", 0)
+    packed = engine._device_bucket(host, fcs, samples)
+    dense = host.device_arrays()
+    for f in dataclasses.fields(dense):
+        a = np.asarray(getattr(dense, f.name))
+        b = np.asarray(getattr(packed, f.name))
+        assert a.dtype == b.dtype, f.name
+        assert a.shape == b.shape, f.name
+        np.testing.assert_array_equal(a, b, err_msg=f.name)
