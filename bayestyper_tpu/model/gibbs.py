@@ -437,19 +437,64 @@ def compute_noise_terms(bucket: ClusterBucket, outcomes: OutcomeSpace, w,
     return out[:, :, 0], out[:, :, 1], out[:, :, 2]
 
 
+# one-level inverse-CDF threshold: XLA lowers a large-axis cumsum as an
+# O(n^2) reduce_window on TPU — at O = 2145 (H = 64) the cumsum alone was
+# 10.3 s of an 10.4 s 350-step scan (ablation: argmax-instead-of-cumsum ran
+# 0.35 s). Above this, a two-level blocked inverse CDF cuts the quadratic
+# term from O^2 to (O/B)^2 + B^2. Kept at/below it so the bulk SNV/indel
+# classes (O <= 153) stay bit-exact with the pinned goldens.
+_SAMPLE_ONELEVEL_MAX_O = 256
+_SAMPLE_BLOCK = 64
+
+
 def _sample_outcomes(key, logits):
     """Categorical outcome per sample via max-shifted inverse CDF
     (LogDiscreteSampler::sample, DiscreteSampler.cpp:106-126): ONE uniform
     per sample instead of one Gumbel per outcome — the per-outcome threefry
     bits dominated the Gibbs step for large outcome spaces (O = 2145 at
-    H = 64)."""
+    H = 64).
+
+    Large outcome spaces use a two-level search with the SAME single
+    uniform: block partial sums pick the block, a within-block cumsum picks
+    the element (identical in exact arithmetic; block-boundary rounding can
+    shift a draw by one index, which is distribution-neutral)."""
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    csum = jnp.cumsum(p, axis=-1)
+    o = p.shape[-1]
+    if o <= _SAMPLE_ONELEVEL_MAX_O:
+        csum = jnp.cumsum(p, axis=-1)
+        u = jax.random.uniform(
+            key, logits.shape[:-1] + (1,), dtype=logits.dtype
+        ) * csum[..., -1:]
+        return jnp.sum((csum <= u).astype(jnp.int32), axis=-1)
+
+    b = _SAMPLE_BLOCK
+    g = -(-o // b)
+    pp = jnp.pad(p, [(0, 0)] * (p.ndim - 1) + [(0, g * b - o)])
+    pp = pp.reshape(p.shape[:-1] + (g, b))
+    bsum = jnp.sum(pp, axis=-1)                      # [..., G]
+    bcs = jnp.cumsum(bsum, axis=-1)                  # O(G^2), small
     u = jax.random.uniform(
         key, logits.shape[:-1] + (1,), dtype=logits.dtype
-    ) * csum[..., -1:]
-    return jnp.sum((csum <= u).astype(jnp.int32), axis=-1)
+    ) * bcs[..., -1:]
+    gi = jnp.minimum(
+        jnp.sum((bcs <= u).astype(jnp.int32), axis=-1), g - 1
+    )                                                # [...]
+    g_oh = (
+        jnp.arange(g, dtype=jnp.int32) == gi[..., None]
+    )                                                # [..., G]
+    prev = jnp.sum(
+        jnp.where(g_oh, bcs - bsum, 0.0), axis=-1, keepdims=True
+    )                                                # csum before block
+    blk = jnp.sum(
+        jnp.where(g_oh[..., None], pp, 0.0), axis=-2
+    )                                                # [..., B]
+    lcs = jnp.cumsum(blk, axis=-1)                   # O(B^2), small
+    t = u - prev
+    j = jnp.minimum(
+        jnp.sum((lcs <= t).astype(jnp.int32), axis=-1), b - 1
+    )
+    return jnp.minimum(gi * b + j, o - 1)
 
 
 # outcome-selection strategy threshold: a masked one-hot reduction costs O
