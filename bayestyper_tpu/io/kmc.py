@@ -81,8 +81,20 @@ class KmcReader:
             sig_map_size = (1 << (2 * sig_len)) + 1
             lut_bytes = size - (sig_map_size * 4 + header_offset + 8)
             lut = np.frombuffer(data, dtype="<u8", count=lut_bytes // 8, offset=4).copy()
+            # the last LUT slot on disk is unspecified padding; every KMC
+            # reader overwrites it with the record sentinel before walking
+            # (kmc_file.cpp:221 `prefix_file_buf[last_data_index] =
+            # total_kmers + 1`) — without this, stray disk bytes smaller
+            # than `total` corrupt the prefix intervals near the end
+            lut[-1] = total
         elif version == 0:
-            header_index = (size - header_offset) // 8
+            # the reference subtracts the header_offset word's 4 bytes from
+            # `size` before locating the header (kmc_file.cpp KMC1 branch:
+            # `size = size - 4; header_index = (size - header_offset)/8`
+            # with its size = filesize - 8) — i.e. header_index =
+            # (filesize - 12 - header_offset) / 8; our `size` is
+            # filesize - 4, hence the extra -8
+            header_index = (size - 8 - header_offset) // 8
             buf = np.frombuffer(
                 data, dtype="<u8", count=(size - 4) // 8, offset=4
             )
@@ -255,14 +267,20 @@ def write_kmc1(prefix_path: str, hi, lo, counts, kmer_length: int,
     d3 = n
     d4 = 0                                   # both_strands flag (0 -> canonical)
     header = np.array([d0, d1, d2, d3, d4], dtype="<u8")
-    header_offset = 5 * 8 + 12               # to header start from EOF-4... see reader
-    # reader: header_index = (size - header_offset)/8 must equal num_pref
-    # size = filesize - 4; filesize = 4 + 8*num_pref + 40 + 4 + 4 + 4
-    header_offset = 8 * 5 + 12
+    # Tail layout constrained by the REFERENCE reader (kmc_file.cpp KMC1
+    # branch): it freads (size - 4) bytes into a (size - 4)/8 u64 buffer
+    # with size = filesize - 8, so filesize must be ≡ 4 (mod 8) — hence the
+    # 4 pad bytes before the version word. It then locates the header at
+    # (filesize - 12 - header_offset)/8 u64s past the front marker, so
+    # header_offset = 40 (pad + version + offset words counted via the -12)
+    # + 8 = 48 lands on d0. Proven against the compiled kmc_api by
+    # tests/test_interop_cpp.py.
+    header_offset = 8 * 5 + 8
     with open(prefix_path + ".kmc_pre", "wb") as fh:
         fh.write(b"KMCP")
         fh.write(lut.tobytes())
         fh.write(header.tobytes())
+        fh.write(struct.pack("<I", 0))               # pad to filesize % 8 == 4
         fh.write(struct.pack("<I", 0))               # kmc_version = 0 (KMC1)
         fh.write(struct.pack("<I", header_offset))
         fh.write(b"KMCP")
@@ -271,6 +289,96 @@ def write_kmc1(prefix_path: str, hi, lo, counts, kmer_length: int,
         fh.write(b"KMCS")
         rec = np.concatenate([suf, ctr], axis=1)
         fh.write(rec.tobytes())
+        fh.write(b"KMCS")
+
+
+def write_kmc2(prefix_path: str, hi, lo, counts, kmer_length: int,
+               lut_prefix_length: int | None = None, counter_size: int = 4,
+               signature_len: int = 5, num_bins: int = 8, min_count: int = 1):
+    """Write a KMC2-format (kmc_version 0x200) database from canonical lanes.
+
+    Layout per kmc_file.cpp:ReadParamsFrom_prefix_file_buf (kmc2 branch):
+      "KMCP" | concatenated per-bin LUTs (num_bins * 4^lut_len cumulative
+      u64 record starts) | sentinel u64 (overwritten by readers,
+      kmc_file.cpp:221) | signature map ((4^sig_len + 1) u32: signature ->
+      bin) | header (7 u32 + total u64 + both u8) | version 0x200 u32 |
+      header_offset u32 | "KMCP"
+
+    k-mers are assigned to bins by their leading `signature_len` bases —
+    a simplified signature function (real KMC3 uses canonical minimizers,
+    mmer.cpp) that still produces a structurally exact KMC2 file: listing
+    via ReadNextKmer walks the concatenated LUTs with `prefix_index &
+    prefix_mask` regardless of how signatures map to bins.
+    """
+    k = kmer_length
+    if lut_prefix_length is None:
+        lut_prefix_length = next(p for p in (7, 5, 3, 6, 4, 2, 1) if (k - p) % 4 == 0)
+    assert (k - lut_prefix_length) % 4 == 0
+    sufix_size = (k - lut_prefix_length) // 4
+    n_hi = min(27, k)
+    assert signature_len <= n_hi and lut_prefix_length <= n_hi
+
+    hi = np.asarray(hi, np.uint64)
+    lo = np.asarray(lo, np.uint64)
+    counts = np.asarray(counts, np.uint64)
+    n = len(hi)
+
+    sig = (hi >> np.uint64(2 * (n_hi - signature_len))).astype(np.int64)
+    num_sigs = 1 << (2 * signature_len)
+    sig_to_bin = (np.arange(num_sigs, dtype=np.int64) % num_bins).astype("<u4")
+    bins = sig_to_bin[sig].astype(np.uint64)
+
+    # records sorted by (bin, kmer) — KMC2 stores bins contiguously, each
+    # bin's records sorted by kmer value
+    order = np.lexsort((lo, hi, bins))
+    hi, lo, counts, bins = hi[order], lo[order], counts[order], bins[order]
+
+    pref = hi >> np.uint64(2 * (n_hi - lut_prefix_length))
+    single_lut = 1 << (2 * lut_prefix_length)
+    # global LUT index = bin * 4^lut_len + prefix; cumulative record starts
+    gidx = bins * np.uint64(single_lut) + pref
+    lut = np.zeros(num_bins * single_lut + 1, dtype="<u8")
+    lut[: num_bins * single_lut] = np.searchsorted(
+        gidx, np.arange(num_bins * single_lut, dtype=np.uint64), side="left"
+    )
+    lut[-1] = n  # sentinel slot (readers overwrite it)
+
+    def base_at(j):
+        if j < n_hi:
+            return (hi >> np.uint64(2 * (n_hi - 1 - j))) & np.uint64(3)
+        return (lo >> np.uint64(2 * (k - 1 - j))) & np.uint64(3)
+
+    suf = np.zeros((n, sufix_size), dtype=np.uint8)
+    for bidx in range(sufix_size):
+        base0 = lut_prefix_length + bidx * 4
+        byte = np.zeros(n, dtype=np.uint64)
+        for t in range(4):
+            byte = (byte << np.uint64(2)) | base_at(base0 + t)
+        suf[:, bidx] = byte.astype(np.uint8)
+
+    ctr = np.zeros((n, counter_size), dtype=np.uint8)
+    for b in range(counter_size):
+        ctr[:, b] = (counts >> np.uint64(8 * b)).astype(np.uint64) & np.uint64(0xFF)
+
+    header = struct.pack(
+        "<7IQB", k, 0, counter_size, lut_prefix_length, signature_len,
+        min_count, 0xFFFFFFFF, n, 0,
+    )  # 37 bytes; both_strands byte 0 -> True after the reader's negation
+    header_offset = len(header) + 4  # header starts at EOF - header_offset - 8
+
+    with open(prefix_path + ".kmc_pre", "wb") as fh:
+        fh.write(b"KMCP")
+        fh.write(lut.tobytes())
+        fh.write(sig_to_bin.tobytes())
+        fh.write(struct.pack("<I", 0))  # sig map has 4^sig_len + 1 entries
+        fh.write(header)
+        fh.write(struct.pack("<I", 0x200))
+        fh.write(struct.pack("<I", header_offset))
+        fh.write(b"KMCP")
+
+    with open(prefix_path + ".kmc_suf", "wb") as fh:
+        fh.write(b"KMCS")
+        fh.write(np.concatenate([suf, ctr], axis=1).tobytes())
         fh.write(b"KMCS")
 
 
