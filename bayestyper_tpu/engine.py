@@ -806,6 +806,17 @@ def _bucket_limit(opts, k, h, s, max_tot, num_chains,
                        budget_bytes // max(per_cluster, 1)))
 
 
+def _mac_top_t(outcomes) -> int:
+    """MAC outcome truncation: EXACT (T = O) for small outcome spaces — all
+    H <= 10 classes, i.e. the overwhelming bulk of real callsets — and
+    top-8 for large ones, where the [C, K, S, T] selection tensors would
+    not fit. The truncation error of top-8 on dense posteriors is bounded
+    by tests/test_mac_bound.py (VariantClusterHaplotypes.cpp:235-300 is the
+    exact per-iteration accumulation being matched)."""
+    o = outcomes.num_outcomes
+    return o if o <= 64 else 8
+
+
 def _pad_clusters(n: int, mesh) -> int:
     """Cluster-axis padding: next power of two, rounded up to a multiple of
     the mesh size so the bucket shards evenly. Padding clusters are
@@ -1491,7 +1502,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
         stats_list = [
             collect_bucket_stats(
                 bucket, outcomes, tally, w, filters,
-                allele_capacity=item["a"], mac_top_t=8,
+                allele_capacity=item["a"], mac_top_t=_mac_top_t(outcomes),
             )
             for item, bucket, outcomes, tally, w in zip(
                 wave, buckets, outcomes_list, tallies, ws
@@ -1631,7 +1642,7 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
             )
         stats = collect_bucket_stats(
             buckets[l], outcomes_list[l], tallies[l], ws[l], filters,
-            allele_capacity=caps_a[l], mac_top_t=8,
+            allele_capacity=caps_a[l], mac_top_t=_mac_top_t(outcomes_list[l]),
             missing_stats=missing_stats,
         )
         stats = _fetch_stats(stats)
@@ -2053,7 +2064,7 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     for bi, cls_fcs in enumerate(class_fcs):
         stats = collect_bucket_stats(
             buckets[bi], outcomes_list[bi], tallies[bi], ws[bi], filters,
-            allele_capacity=caps_a[bi], mac_top_t=8,
+            allele_capacity=caps_a[bi], mac_top_t=_mac_top_t(outcomes_list[bi]),
         )
         _emit_records(writer, cls_fcs, stats, samples, ploidy_model)
     if nested:
