@@ -342,6 +342,105 @@ def oracle_gibbs(cluster: OracleCluster, tables, num_chains, burn_in,
     return tally, freq_acc / denom, (rate_traces if noise is not None else None)
 
 
+def oracle_gibbs_coupled(clusters, shared, tables, num_chains, burn_in,
+                         num_samples, seed, sparsities, use_sparse=True,
+                         max_total_mult=None):
+    """Joint Gibbs over clusters of ONE group with SHARED k-mers coupled
+    through their summed diplotype multiplicities — the reference's
+    multicluster mechanism (KmerCounts.cpp:197-223,
+    VariantClusterHaplotypes.cpp:197-233, updateMulticlusterDiplotypeLogProb
+    VariantClusterGenotyper.cpp:569-595) rendered exactly: when cluster i
+    scores a diplotype, each shared k-mer's multiplicity is its own
+    contribution PLUS the contribution of every other cluster's CURRENT
+    sampled diplotype.
+
+    Args:
+      clusters: list of OracleCluster over the same samples. Each cluster's
+        `mult` rows are indexed by GLOBAL k-mer ids via `shared`.
+      shared: dict global_kmer_id -> list of (cluster_idx, local_kmer_idx)
+        for k-mers present in more than one cluster. Counts for a shared
+        k-mer must be identical in every listed cluster.
+    Returns list of per-cluster tallies [S, O_i].
+    """
+    n_cl = len(clusters)
+    outcomes = [enumerate_outcomes(cl.h) for cl in clusters]
+    tallies = [np.zeros((cl.s, len(o)), np.int64)
+               for cl, o in zip(clusters, outcomes)]
+    mmax = tables.shape[1] - 1 if max_total_mult is None else max_total_mult
+
+    # local kmer -> (shared entry list) lookup per cluster
+    shared_of = [dict() for _ in clusters]
+    for gid, members in shared.items():
+        for ci, kk in members:
+            shared_of[ci][kk] = [m for m in members if m[0] != ci]
+
+    for chain in range(num_chains):
+        rng = np.random.default_rng((seed, chain))
+        freqs = [np.full(cl.h, 1.0 / cl.h) for cl in clusters]
+        # current sampled outcome per cluster per sample (haplotype pair)
+        cur = [[outcomes[ci][-1] for _ in range(clusters[ci].s)]
+               for ci in range(n_cl)]
+
+        def other_mult(ci, kk, s):
+            tot = 0
+            for cj, kj in shared_of[ci].get(kk, ()):
+                h1, h2 = cur[cj][s]
+                if h1 is not None:
+                    tot += int(clusters[cj].mult[kj, h1])
+                if h2 is not None:
+                    tot += int(clusters[cj].mult[kj, h2])
+            return tot
+
+        for it in range(burn_in + num_samples):
+            for ci, cl in enumerate(clusters):
+                hap_counts = np.zeros(cl.h, np.int64)
+                for s in range(cl.s):
+                    pl = int(cl.ploidy[s])
+                    cand = []
+                    for oi, (h1, h2) in enumerate(outcomes[ci]):
+                        if pl == 2:
+                            ok = h1 is not None and h2 is not None
+                        elif pl == 1:
+                            ok = h1 is not None and h2 is None
+                        else:
+                            ok = h1 is None
+                        if not ok:
+                            continue
+                        if h1 is not None and freqs[ci][h1] <= 0:
+                            continue
+                        if h2 is not None and freqs[ci][h2] <= 0:
+                            continue
+                        lp = hwe_prior(freqs[ci], h1, h2)
+                        for kk in range(cl.k):
+                            m = int(cl.inter[kk, s]) + other_mult(ci, kk, s)
+                            if h1 is not None:
+                                m += int(cl.mult[kk, h1])
+                            if h2 is not None:
+                                m += int(cl.mult[kk, h2])
+                            lp += tables[s, min(m, mmax),
+                                         min(int(cl.counts[kk, s]), MAX_COUNT)]
+                        cand.append((oi, lp))
+                    pick = cand[_log_discrete_sample(
+                        rng, np.asarray([x for _, x in cand])
+                    )][0]
+                    cur[ci][s] = outcomes[ci][pick]
+                    h1, h2 = outcomes[ci][pick]
+                    if h1 is not None:
+                        hap_counts[h1] += 1
+                    if h2 is not None:
+                        hap_counts[h2] += 1
+                    if it >= burn_in:
+                        tallies[ci][s, pick] += 1
+                if hap_counts.sum() > 0:
+                    if use_sparse:
+                        freqs[ci] = _sample_sparse_frequencies(
+                            rng, hap_counts, sparsities[ci]
+                        )
+                    else:
+                        freqs[ci] = _sample_dense_frequencies(rng, hap_counts)
+    return tallies
+
+
 def posteriors_from_tally(cluster: OracleCluster, tally):
     """Genotype (GPP) and allele (APP) posteriors per variant from outcome
     tallies (getGenotypeSampleStats, VariantClusterGenotyper.cpp:249-370).
