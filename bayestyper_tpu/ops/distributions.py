@@ -148,7 +148,9 @@ def np_build_genomic_tables(p, size, max_multiplicity=MAX_KMER_MULTIPLICITY):
     size = np.atleast_1d(np.asarray(size, np.float64))
     num_samples = p.shape[0]
 
-    counts = np.arange(MAX_KMER_COUNT + 1 + _TAIL_TERMS, dtype=np.float64)
+    from scipy import stats as st
+
+    counts = np.arange(MAX_KMER_COUNT + 1, dtype=np.float64)
     mults = np.arange(1, max_multiplicity + 1, dtype=np.float64)
 
     tables = np.zeros((num_samples, max_multiplicity + 1, MAX_KMER_COUNT + 1),
@@ -162,10 +164,20 @@ def np_build_genomic_tables(p, size, max_multiplicity=MAX_KMER_MULTIPLICITY):
             + sz * np.log(p[s])
             + counts[None, :] * np.log1p(-p[s])
         )
-        # fold tail mass into count=255 (CountDistribution.cpp:285-306)
-        tail = sp.logsumexp(g[:, MAX_KMER_COUNT:], axis=1)
-        g255 = np.minimum(tail, 0.0)
-        tables[s, 1:, : MAX_KMER_COUNT + 1] = g[:, : MAX_KMER_COUNT + 1]
+        # fold tail mass into count=255: the reference's convergence loop
+        # (CountDistribution.cpp:285-306) sums pmf terms from 255 upward
+        # until logAddition converges, i.e. its limit is log P(X >= 255) —
+        # the NB survival function, which scipy evaluates exactly. (A
+        # truncated term sum diverges from that limit for rows whose mean
+        # lies far beyond the truncation horizon.)
+        # scipy's logsf underflows to -inf in the far tail; P(X >= 255) is
+        # bounded below by pmf(255), and at such magnitudes the reference's
+        # loop converges on its first terms (a geometric-ratio correction
+        # far below double precision of the cell), so the pmf term is the
+        # exact fallback
+        logsf = st.nbinom.logsf(MAX_KMER_COUNT - 1, sz[:, 0], p[s])
+        g255 = np.minimum(np.maximum(logsf, g[:, MAX_KMER_COUNT]), 0.0)
+        tables[s, 1:, : MAX_KMER_COUNT + 1] = g
         tables[s, 1:, MAX_KMER_COUNT] = g255
     return tables
 
@@ -192,18 +204,26 @@ def np_build_count_log_prob_tables(p, size, noise_rates,
     rates = np.atleast_1d(np.asarray(noise_rates, np.float64))
     num_samples = p.shape[0]
 
+    from scipy import stats as st
+
     if genomic is None:
         genomic = np_build_genomic_tables(p, size, max_multiplicity)
     tables = genomic.copy()
-    counts = np.arange(MAX_KMER_COUNT + 1 + _TAIL_TERMS, dtype=np.float64)
+    counts = np.arange(MAX_KMER_COUNT + 1, dtype=np.float64)
     for s in range(num_samples):
         n = (
             counts * np.log(rates[s])
             - rates[s]
             - sp.gammaln(counts + 1.0)
         )
-        ntail = np.minimum(sp.logsumexp(n[MAX_KMER_COUNT:]), 0.0)
-        tables[s, 0, :] = n[: MAX_KMER_COUNT + 1]
+        # exact tail fold: log P(X >= 255) via the Poisson survival
+        # function (the limit of CountDistribution.cpp:321-341's loop)
+        ntail = np.minimum(
+            np.maximum(st.poisson.logsf(MAX_KMER_COUNT - 1, rates[s]),
+                       n[MAX_KMER_COUNT]),
+            0.0,
+        )
+        tables[s, 0, :] = n
         tables[s, 0, MAX_KMER_COUNT] = ntail
 
     return tables.astype(np.float32)
