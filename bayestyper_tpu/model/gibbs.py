@@ -56,6 +56,17 @@ from ..constants import (
 from ..ops.sampling import NEG_INF, sample_frequencies
 from .buckets import ClusterBucket
 
+# Unroll factor for the Gibbs iteration scans. Results are bit-identical for
+# any unroll factor: the iteration body is keyed on the absolute iteration
+# index t (fold_in), not on the trip count. Measured on the v5e (profile of
+# the bulk H2/K256/C4096 wave): the 350-step scan body is NOT trip-bound —
+# device busy time is 0.26 s/wave and unroll=5 made execution 2.7x SLOWER
+# (worse fusion, 5x executable) — so the default stays 1; the knob remains
+# for experiments on other hardware.
+import os as _os
+
+SCAN_UNROLL = int(_os.environ.get("BT_SCAN_UNROLL", "1"))
+
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class OutcomeSpace:
@@ -657,7 +668,8 @@ def genotype_bucket(base_key, bucket: ClusterBucket, tables, outcomes: OutcomeSp
 
     tally0 = jnp.zeros((c, cfg.num_chains, s, o), jnp.int32)
     (_, tally), _ = jax.lax.scan(
-        step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32)
+        step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32),
+        unroll=SCAN_UNROLL,
     )
     return tally, w
 
@@ -746,6 +758,7 @@ def genotype_buckets_multi(base_key, buckets, tables, outcomes_list, cfgs):
     (_, tallies), _ = jax.lax.scan(
         step, (freqs0_list, tally0_list),
         jnp.arange(num_iters, dtype=jnp.int32),
+        unroll=SCAN_UNROLL,
     )
     return tallies, tuple(su["w"] for su in setups)
 
@@ -855,7 +868,8 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
         return (new_freqs, new_rates), (new_rates, collect)
 
     (_, _), (trace, collected) = jax.lax.scan(
-        step, (freqs0, init_rates), jnp.arange(num_iters, dtype=jnp.int32)
+        step, (freqs0, init_rates), jnp.arange(num_iters, dtype=jnp.int32),
+        unroll=SCAN_UNROLL,
     )
     rate_sum = jnp.sum(trace * collected[:, None], axis=0)
     return rate_sum, trace
@@ -970,7 +984,8 @@ def genotype_nested(base_key, buckets, parent_rows, retain_tables, tables,
     )
     freqs0 = tuple(pre["freqs0"] for pre in precomp)
     (_, tallies), _ = jax.lax.scan(
-        step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32)
+        step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32),
+        unroll=SCAN_UNROLL,
     )
     return tallies, tuple(pre["w"] for pre in precomp)
 
@@ -1122,7 +1137,8 @@ def noise_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
 
     freqs0_list = tuple(su["freqs0"] for su in setups)
     (_, _), (trace, collected) = jax.lax.scan(
-        step, (freqs0_list, init_rates), jnp.arange(num_iters, dtype=jnp.int32)
+        step, (freqs0_list, init_rates), jnp.arange(num_iters, dtype=jnp.int32),
+        unroll=SCAN_UNROLL,
     )
     # trace: [iters, ch, S] -> [ch, iters, S]
     trace = jnp.transpose(trace, (1, 0, 2))
@@ -1302,6 +1318,7 @@ def joint_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
     (_, _, tallies), trace = jax.lax.scan(
         step, (freqs0_list, init_rates, tally0),
         jnp.arange(num_iters, dtype=jnp.int32),
+        unroll=SCAN_UNROLL,
     )
     # trace: [iters, ch, S] -> [ch, iters, S]
     return tallies, tuple(su["w"] for su in setups), jnp.transpose(
