@@ -845,10 +845,14 @@ def _step_at_least(x, lo, step):
 
 def _size_class(fc: FinalizedCluster):
     """Coarse size classes: every distinct class costs one XLA compile
-    (~50s on the tunnel), so K/V/A use x4 steps — over-padding is cheap
-    (LL compute is linear in K) while compiles are not."""
+    (~50s on the tunnel), so V/A use x4 steps — over-padding is cheap
+    (LL compute is linear in K) while compiles are not. K uses x2 steps
+    from 128: the bulk SNV/indel classes carry ~110 real k-mers, so a
+    256-floor class padded them to fill ~43% — the k-mer-proportional
+    costs (bucket upload over the ~30 MB/s tunnel, LL precompute, count
+    tensors) all halve at a 128 floor for one extra compile per H class."""
     h = _pow2_at_least(fc.hap_allele.shape[0], 2)
-    k = _step_at_least(max(len(fc.kmer_hi), 1), 256, 4)
+    k = _step_at_least(max(len(fc.kmer_hi), 1), 128, 2)
     v = _step_at_least(len(fc.variants), 1, 4)
     a = _step_at_least(max(x.num_alleles for x in fc.variants), 2, 2)
     return (h, k, v, a)
@@ -1566,7 +1570,7 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
     h_pads = []
     for fcs in levels:
         h = max(_pow2_at_least(fc.hap_allele.shape[0], 2) for fc in fcs)
-        k = max(_step_at_least(max(len(fc.kmer_hi), 1), 256, 4) for fc in fcs)
+        k = max(_step_at_least(max(len(fc.kmer_hi), 1), 128, 2) for fc in fcs)
         v = max(_step_at_least(len(fc.variants), 1, 4) for fc in fcs)
         a = max(
             _step_at_least(max(x.num_alleles for x in fc.variants), 2, 2)

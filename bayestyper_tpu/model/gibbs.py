@@ -111,6 +111,32 @@ def make_outcome_space(num_haplotypes: int) -> OutcomeSpace:
     return OutcomeSpace(h, oa, ob, het, mask)
 
 
+# Salts separating the per-slot uniform streams (subsample vs cap visit
+# order); arbitrary odd constants.
+_SUBSAMPLE_SALT = 0x9E3779B9
+_CAP_SALT = 0x85EBCA77
+
+
+def _slot_uniform(key, k, salt):
+    """[k] uniforms where element i depends ONLY on (key, i, salt).
+
+    jax.random.uniform(key, (k,)) pairs counter i with counter i + k/2
+    inside threefry, so its output at slot i changes with the padded K —
+    bucketing a cluster into a different K size class would redraw its
+    subsample subset. Hashing (slot, salt) pairs explicitly makes the
+    stream padding-invariant: growing K appends draws without changing
+    existing ones."""
+    from jax.extend.random import threefry_2x32
+
+    kd = jax.random.key_data(key)
+    cnt = jnp.arange(k, dtype=jnp.uint32)
+    bits = threefry_2x32(
+        kd, jnp.concatenate([cnt, jnp.full((k,), salt, jnp.uint32)])
+    )[:k]
+    # 24-bit mantissa conversion; exact uniform on [0, 1)
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
 def subsample_masks(key, kmer_valid, num_chains, rate=KMER_SUBSAMPLING_RATE,
                     cluster_ids=None):
     """Per-chain Bernoulli k-mer subsets: [C, chains, K] bool.
@@ -120,21 +146,25 @@ def subsample_masks(key, kmer_valid, num_chains, rate=KMER_SUBSAMPLING_RATE,
     cap can bind (pool > max_haplotype_variant_kmers for some pair) the
     caller additionally applies `apply_kmer_cap`.
 
-    With `cluster_ids` the draws are keyed per cluster
-    (fold_in(key, cluster_id)) so the subset of every cluster is independent
-    of bucket shape, chunk packing, and co-scheduled size classes — the same
-    invariance discipline as the per-(cluster, chain) Gibbs streams.
+    Draws are keyed per (cluster, chain, k-mer slot): fold_in(key,
+    cluster_id) then fold_in(chain), then a per-slot stable uniform
+    (_slot_uniform) — so the subset of every cluster is independent of
+    bucket shape, K size class, chunk packing, and co-scheduled classes.
     """
     c, k = kmer_valid.shape
     if cluster_ids is None:
-        u = jax.random.uniform(key, (c, num_chains, k))
-    else:
-        u = jax.vmap(
-            lambda cid: jax.random.uniform(
-                jax.random.fold_in(key, cid.astype(jnp.uint32)),
-                (num_chains, k),
+        cluster_ids = jnp.arange(c, dtype=jnp.uint32)
+    chain_idx = jnp.arange(num_chains, dtype=jnp.uint32)
+
+    def per_cluster(cid):
+        kc = jax.random.fold_in(key, cid.astype(jnp.uint32))
+        return jax.vmap(
+            lambda ch: _slot_uniform(
+                jax.random.fold_in(kc, ch), k, _SUBSAMPLE_SALT
             )
-        )(cluster_ids)
+        )(chain_idx)
+
+    u = jax.vmap(per_cluster)(cluster_ids)
     return (u < rate) & kmer_valid[:, None, :]
 
 
@@ -164,14 +194,21 @@ def apply_kmer_cap(key, w, member_packed, num_haplotypes, cap,
     h = num_haplotypes
 
     if cluster_ids is None:
-        keys = jax.random.split(key, c * num_chains).reshape(c, num_chains, 2)
-    else:
-        keys = jax.vmap(
-            lambda cid: jax.random.split(
-                jax.random.fold_in(key, cid.astype(jnp.uint32)), num_chains
+        cluster_ids = jnp.arange(c, dtype=jnp.uint32)
+    chain_idx = jnp.arange(num_chains, dtype=jnp.uint32)
+    keys = jax.vmap(
+        lambda cid: jax.vmap(
+            lambda ch: jax.random.fold_in(
+                jax.random.fold_in(key, cid.astype(jnp.uint32)), ch
             )
-        )(cluster_ids)  # [C, chains, 2]
-    perm = jax.vmap(jax.vmap(lambda kk: jax.random.permutation(kk, k)))(keys)
+        )(chain_idx)
+    )(cluster_ids)  # [C, chains, 2]
+    # visit order = argsort of per-slot stable uniforms: growing the padded K
+    # appends slots without reordering existing ones (padded slots are inert:
+    # w is False there, so their position in the visit order is irrelevant)
+    perm = jax.vmap(jax.vmap(
+        lambda kk: jnp.argsort(_slot_uniform(kk, k, _CAP_SALT))
+    ))(keys)
 
     def step(counts, t):
         idx = perm[:, :, t]  # [C, ch]

@@ -82,3 +82,36 @@ def test_chunk_packing_invariance():
     )
     np.testing.assert_array_equal(np.asarray(t_all)[:2], np.asarray(t1)[:2])
     np.testing.assert_array_equal(np.asarray(t_all)[2:5], np.asarray(t2)[:3])
+
+
+def test_kmer_padding_invariance():
+    """The subsample + cap streams are keyed per (cluster, chain, k-mer
+    SLOT) via prefix-stable per-slot uniforms (_slot_uniform), so bucketing
+    the same cluster into a larger K size class must not change its result.
+    jax.random.uniform would NOT give this (its threefry counter pairing is
+    shape-dependent) — this test pins the property that lets size-class
+    granularity change without re-pinning goldens."""
+    rng = np.random.default_rng(31)
+    key = jax.random.PRNGKey(5)
+    tables = _tables()
+    outcomes = make_outcome_space(2)
+
+    cls = _clusters(rng, 3, cid0=900)
+    cfg_cap = GibbsConfig(
+        num_chains=3, burn_in=10, num_samples=20, kmer_subsampling_rate=0.8,
+        max_total_mult=8, apply_cap=True, max_haplotype_variant_kmers=7,
+    )
+    for cfg in (CFG, cfg_cap):
+        t32, w32 = genotype_bucket(
+            key, build_bucket(cls, (4, 32, 2, 1), S).device_arrays(),
+            tables, outcomes, cfg,
+        )
+        t128, w128 = genotype_bucket(
+            key, build_bucket(cls, (4, 128, 2, 1), S).device_arrays(),
+            tables, outcomes, cfg,
+        )
+        np.testing.assert_array_equal(np.asarray(t32), np.asarray(t128))
+        np.testing.assert_array_equal(
+            np.asarray(w32), np.asarray(w128)[:, :, :32]
+        )
+        assert not np.asarray(w128)[:, :, 32:].any()
