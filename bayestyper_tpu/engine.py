@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import pickle
 import time
 from collections import defaultdict
@@ -59,7 +60,18 @@ from .ops.kmers import encode_bases, kmer_lanes
 from .writer import GenotypeVcfWriter, VariantGenotypeRecord
 
 
+_LOG_TIMING = os.environ.get("BT_TIMING") == "1"
+_log_prev = [None]
+
+
 def _log(msg):
+    if _LOG_TIMING:
+        now = time.perf_counter()
+        dt = 0.0 if _log_prev[0] is None else now - _log_prev[0]
+        _log_prev[0] = now
+        print(f"[{time.strftime('%d/%m/%Y %H:%M:%S')}] (+{dt:6.2f}s) {msg}",
+              flush=True)
+        return
     print(f"[{time.strftime('%d/%m/%Y %H:%M:%S')}] {msg}", flush=True)
 
 
@@ -597,7 +609,7 @@ class GenotypeOptions:
     noise_rate_prior: tuple = (NOISE_RATE_PRIOR_SHAPE, NOISE_RATE_PRIOR_SCALE)
     noise_genotyping: bool = False
     random_seed: int = 1
-    max_bucket_clusters: int = 4096
+    max_bucket_clusters: int = 16384
     num_host_threads: int = 1
     # None = use every visible device (cluster-data-parallel over the mesh);
     # results are bit-identical for any device count (counter-based per-
@@ -791,7 +803,7 @@ def parameter_kmer_stats(unit, samples, table, counts):
 
 
 def _bucket_limit(opts, k, h, s, max_tot, num_chains,
-                  budget_bytes=2 << 30) -> int:
+                  budget_bytes=4 << 30) -> int:
     """Per-class cluster cap: big buckets amortise the per-iteration scan
     overhead on device (512-cluster buckets leave the TPU latency-bound),
     but the LL precompute working set scales with K*O and S*M*K — bound it
@@ -843,6 +855,45 @@ def _step_at_least(x, lo, step):
     return v
 
 
+def _coalesce_size_classes(by_class, min_count=128):
+    """Merge small (h, k, v, a) classes into a same-h class with k' >= k,
+    v' >= v, a' >= a when one exists: every distinct class costs one XLA
+    compile and one sub-body in the merged scan programs, and rare classes
+    (a handful of clusters) pay that compile for negligible work.
+
+    STREAM-PRESERVING by construction: subsample/cap draws are keyed per
+    (cluster, chain, k-mer slot) and prefix-stable in K (_slot_uniform);
+    Gibbs draws are keyed per (cluster, chain) and shaped by H only — which
+    never changes here; V/A shape membership/stats tensors whose padding is
+    masked. max_total_mult is a non-binding clamp (>= every real total) in
+    either class, so LL rows are identical too. The only result-relevant
+    flag is apply_cap, which re-keys the subsample split — callers must
+    derive it from the MERGED class (both phases use the same merged map,
+    so draws agree between the noise and genotype phases)."""
+    keys = sorted(by_class)
+    for key in keys:
+        fcs = by_class.get(key)
+        if fcs is None or len(fcs) >= min_count:
+            continue
+        h, k, v, a = key
+        best = None
+        for key2 in by_class:
+            if key2 == key:
+                continue
+            h2, k2, v2, a2 = key2
+            if h2 != h or k2 < k or v2 < v or a2 < a:
+                continue
+            cost = k2 * v2 * a2
+            if best is None or cost < best[0]:
+                best = (cost, key2)
+        if best is not None:
+            by_class[best[1]].extend(fcs)
+            del by_class[key]
+    for fcs in by_class.values():
+        fcs.sort(key=lambda fc: fc.cluster_id)
+    return by_class
+
+
 def _size_class(fc: FinalizedCluster):
     """Coarse size classes: every distinct class costs one XLA compile
     (~50s on the tunnel), so V/A use x4 steps — over-padding is cheap
@@ -856,6 +907,20 @@ def _size_class(fc: FinalizedCluster):
     v = _step_at_least(len(fc.variants), 1, 4)
     a = _step_at_least(max(x.num_alleles for x in fc.variants), 2, 2)
     return (h, k, v, a)
+
+
+def _class_map(compiled, min_count=128):
+    """cluster_id -> merged size class, computed ONCE from the full set so
+    the noise phase (which draws a subset) and the genotype waves group the
+    same cluster identically — device buckets built for one phase then serve
+    the other (bucket_cache), and the class-derived apply_cap gate agrees."""
+    by_class = defaultdict(list)
+    for fc in compiled:
+        by_class[_size_class(fc)].append(fc)
+    by_class = _coalesce_size_classes(by_class, min_count)
+    return {
+        fc.cluster_id: key for key, fcs in by_class.items() for fc in fcs
+    }
 
 
 class _UnitCounts:
@@ -1164,7 +1229,7 @@ def _bucket_cached(cache, fcs, caps, samples, ploidy_model, ucounts, seed,
 
 def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
                    opts: GenotypeOptions, ucounts=None, genomic_tables=None,
-                   bucket_cache=None):
+                   bucket_cache=None, class_map=None):
     """Noise rate estimation over single-cluster groups of EVERY size class
     (estimateNoise, InferenceEngine.cpp:135-276; group selection :141-151
     has no size restriction). Clusters are bucketed per size class and all
@@ -1202,9 +1267,14 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
         batch.append(fc)
         num_vars += len(fc.variants)
 
+    if class_map is None:
+        class_map = _class_map(
+            [fc for fc in unit.compiled if _is_single_cluster_group(fc)]
+            or list(unit.compiled)[:1]
+        )
     by_class = defaultdict(list)
     for fc in batch:
-        by_class[_size_class(fc)].append(fc)
+        by_class[class_map[fc.cluster_id]].append(fc)
     # within-class order normalised to cluster_id so chunks coincide with
     # the genotype wave chunks and the built device buckets can be shared
     # (results are invariant: subsample/Gibbs streams are cluster-keyed and
@@ -1368,11 +1438,18 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
 
     genomic64 = np_build_genomic_tables(nb_params.p, nb_params.size, 255)
     bucket_cache = {}
+    # merged size-class map shared by the noise phase and the waves (so both
+    # group a cluster identically and device buckets are reused between them)
+    class_map = _class_map([
+        fc for fc in unit.compiled
+        if getattr(fc, "parent_id", -1) < 0
+        and not getattr(fc, "children_ids", [])
+    ] or list(unit.compiled))
     with _Profiler():
         noise_rates, noise_traces = estimate_noise(
             unit, samples, table, counts, ploidy_model, nb_params, opts,
             ucounts=ucounts, genomic_tables=genomic64,
-            bucket_cache=bucket_cache,
+            bucket_cache=bucket_cache, class_map=class_map,
         )
     _log_rss("noise estimation")
     write_noise_parameters(prefix, samples, noise_traces, noise_rates)
@@ -1413,7 +1490,9 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
 
     by_class = defaultdict(list)
     for fc in singles:
-        by_class[_size_class(fc)].append(fc)
+        by_class[class_map[fc.cluster_id]].append(fc)
+    for cls_fcs in by_class.values():
+        cls_fcs.sort(key=lambda fc: fc.cluster_id)
 
     # bucket-occupancy census: real vs padded cells per size class (SURVEY
     # §5 observability plan — shows where padding burns device FLOPs)
@@ -1438,7 +1517,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     # compiled scan (genotype_buckets_multi) stepping every bucket per
     # iteration. Per-cluster results are invariant to the packing (subsample
     # + Gibbs streams are keyed on cluster_id).
-    budget_bytes = 2 << 30
+    budget_bytes = 4 << 30
     work = []
     for (h, k, v, a), fcs in sorted(by_class.items()):
         max_tot = _step_at_least(
@@ -1999,9 +2078,10 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
         )
     )
 
+    cmap = _class_map(fcs)
     by_class = defaultdict(list)
     for fc in fcs:
-        by_class[_size_class(fc)].append(fc)
+        by_class[cmap[fc.cluster_id]].append(fc)
 
     class_fcs, buckets, outcomes_list, cfgs, caps_a = [], [], [], [], []
     for (h, k, v, a), cls_fcs in sorted(by_class.items()):
