@@ -609,7 +609,7 @@ class GenotypeOptions:
     noise_rate_prior: tuple = (NOISE_RATE_PRIOR_SHAPE, NOISE_RATE_PRIOR_SCALE)
     noise_genotyping: bool = False
     random_seed: int = 1
-    max_bucket_clusters: int = 16384
+    max_bucket_clusters: int = 4096
     num_host_threads: int = 1
     # None = use every visible device (cluster-data-parallel over the mesh);
     # results are bit-identical for any device count (counter-based per-
@@ -803,7 +803,7 @@ def parameter_kmer_stats(unit, samples, table, counts):
 
 
 def _bucket_limit(opts, k, h, s, max_tot, num_chains,
-                  budget_bytes=4 << 30) -> int:
+                  budget_bytes=2 << 30) -> int:
     """Per-class cluster cap: big buckets amortise the per-iteration scan
     overhead on device (512-cluster buckets leave the TPU latency-bound),
     but the LL precompute working set scales with K*O and S*M*K — bound it
@@ -1517,7 +1517,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     # compiled scan (genotype_buckets_multi) stepping every bucket per
     # iteration. Per-cluster results are invariant to the packing (subsample
     # + Gibbs streams are keyed on cluster_id).
-    budget_bytes = 4 << 30
+    budget_bytes = 2 << 30
     work = []
     for (h, k, v, a), fcs in sorted(by_class.items()):
         max_tot = _step_at_least(
