@@ -1334,10 +1334,31 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
             jax.random.fold_in(k77, ci), shape, (len(samples),)
         )
     )(jnp.arange(opts.num_chains, dtype=jnp.uint32)) * scale  # [ch, S]
-    rate_sums, chain_traces = noise_chains_multi(
-        key, tuple(buckets), tables, init_rates, (shape, scale),
-        tuple(outcomes_list), tuple(cfgs), num_chains=opts.num_chains,
-    )
+    # HBM guard: tensors with tiny minor dims (S samples, O outcomes) pad
+    # ~10x under the TPU's (8,128) tiling, so the resident per-(cluster,
+    # chain) state of the merged noise program is far larger than its byte
+    # count — a 42k-cluster x 20-chain program was rejected at 26 GB padded.
+    # Chains are INDEPENDENT (each carries its own rate trajectory; pooling
+    # is across clusters within a chain), so split them into groups that
+    # keep cluster x chain under a measured-safe cap. Per-chain keys are
+    # chain0-based, so the grouping is bit-exact vs one program.
+    c_total = sum(int(b.num_clusters) for b in buckets)
+    cap = int(os.environ.get("BT_CLUSTER_CHAINS_CAP", 150_000))
+    chain_step = max(1, min(opts.num_chains, cap // max(c_total, 1)))
+    # pick a divisor of num_chains so every group shares one compiled shape
+    while opts.num_chains % chain_step:
+        chain_step -= 1
+    rs_parts, tr_parts = [], []
+    for c0 in range(0, opts.num_chains, chain_step):
+        rs, tr = noise_chains_multi(
+            key, tuple(buckets), tables, init_rates[c0 : c0 + chain_step],
+            (shape, scale), tuple(outcomes_list), tuple(cfgs),
+            num_chains=chain_step, chain0=jnp.uint32(c0),
+        )
+        rs_parts.append(rs)
+        tr_parts.append(tr)
+    rate_sums = jnp.concatenate(rs_parts, axis=0)
+    chain_traces = jnp.concatenate(tr_parts, axis=0)
     rate_sums, chain_traces, inits = jax.device_get(
         (rate_sums, chain_traces, init_rates)
     )
