@@ -113,7 +113,7 @@ def main():
         t0 = time.perf_counter()
         pl = dev.lookup_counts(q_hi, q_lo)
         best = min(best, time.perf_counter() - t0)
-    idx3 = pl.view(np.uint32).reshape(n_query).astype(np.int64)
+    idx3 = np.ascontiguousarray(pl).view(np.uint32).reshape(n_query).astype(np.int64)
     # payload 0 is ambiguous (row 0 vs miss) — resolve tiny remainder on host
     dev_hits = int((idx3 > 0).sum())
     maybe0 = np.flatnonzero(idx3 == 0)
