@@ -164,6 +164,30 @@ class LaneTable:
     def contains(self, hi, lo):
         return self.lookup(hi, lo) >= 0
 
+    def lookup_sparse(self, hi, lo):
+        """Lookup tuned for MISS-HEAVY query streams (the intercluster
+        genome scan: ~93% of region k-mers are not path k-mers). A 2^22-slot
+        byte map over the hi-prefix (fits L2) rejects most misses with one
+        cached load each; only survivors pay the DRAM binary search. Same
+        results as lookup()."""
+        if len(self.hi) == 0 or len(hi) == 0:
+            return np.full(len(hi), -1, dtype=np.int64)
+        pf = getattr(self, "_prefilter", None)
+        if pf is None:
+            bits = 22
+            shift = np.uint64(54 - bits)  # hi holds the top 54-bit half
+            pf_map = np.zeros(1 << bits, np.bool_)
+            pf_map[(self.hi >> shift).astype(np.int64)] = True
+            pf = (pf_map, shift)
+            self._prefilter = pf
+        pf_map, shift = pf
+        maybe = pf_map[(hi >> shift).astype(np.int64)]
+        idx = np.full(len(hi), -1, dtype=np.int64)
+        mi = np.flatnonzero(maybe)
+        if len(mi):
+            idx[mi] = self.lookup(hi[mi], lo[mi])
+        return idx
+
 
 # ---------------------------------------------------------------------------
 # cluster phase
@@ -193,6 +217,36 @@ class InferenceUnitData:
     def load(cls, path: str):
         with open(path, "rb") as fh:
             return pickle.load(fh)
+
+
+def _prefetch_iter(gen, depth=2):
+    """Run a generator on a worker thread, `depth` items ahead: the genome
+    k-mer extraction (native, GIL-released) overlaps the lookup+scatter
+    consumption of the previous chunk on this 2-core host."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()
 
 
 def _scan_genome_kmers(genome, regions, kmer_size, chunk=4_000_000):
@@ -423,10 +477,12 @@ def _run_cluster_phase_impl(
     total_region_len = sum(e - s for _, s, e in regions)
     sample_rate = min(1.0, (3.0 * max_parameter_kmers) / max(total_region_len, 1))
 
-    for chrom, hi, lo in _scan_genome_kmers(genome, regions, kmer_size):
+    for chrom, hi, lo in _prefetch_iter(
+        _scan_genome_kmers(genome, regions, kmer_size)
+    ):
         pf = ploidy.ploidy(chrom, GENDER_FEMALE)
         pm = ploidy.ploidy(chrom, 1 - GENDER_FEMALE)
-        idx = all_path_union.lookup(hi, lo)
+        idx = all_path_union.lookup_sparse(hi, lo)
         hit = idx >= 0
         if len(member_flags):
             mhit = idx[hit & np.where(hit, member_flags[np.maximum(idx, 0)], False)]
@@ -457,18 +513,35 @@ def _run_cluster_phase_impl(
         p_m = np.concatenate(
             [np.full(len(c[0]), c[3], np.int32) for c in param_chunks]
         )
-        order = np.lexsort((p_lo, p_hi))
-        p_hi, p_lo, p_f, p_m = p_hi[order], p_lo[order], p_f[order], p_m[order]
-        first = np.ones(len(p_hi), bool)
-        if len(p_hi):
-            first[1:] = (p_hi[1:] != p_hi[:-1]) | (p_lo[1:] != p_lo[:-1])
-        gid = np.cumsum(first) - 1
-        n_unique = int(first.sum())
-        mult_f = np.zeros(n_unique, np.int32)
-        mult_m = np.zeros(n_unique, np.int32)
-        np.add.at(mult_f, gid, p_f)
-        np.add.at(mult_m, gid, p_m)
-        u_hi, u_lo = p_hi[first], p_lo[first]
+        from . import native
+
+        if native.available() and len(p_hi):
+            # MSB-bucketed rank+unique (bt_pair_unique) + bincount sums
+            # replace the 2-key lexsort + np.add.at (~1s at unit scale)
+            gid, rep = native.pair_unique(p_hi, p_lo)
+            n_unique = len(rep)
+            mult_f = np.bincount(
+                gid, weights=p_f, minlength=n_unique
+            ).astype(np.int32)
+            mult_m = np.bincount(
+                gid, weights=p_m, minlength=n_unique
+            ).astype(np.int32)
+            u_hi, u_lo = p_hi[rep], p_lo[rep]
+        else:
+            order = np.lexsort((p_lo, p_hi))
+            p_hi, p_lo, p_f, p_m = (
+                p_hi[order], p_lo[order], p_f[order], p_m[order]
+            )
+            first = np.ones(len(p_hi), bool)
+            if len(p_hi):
+                first[1:] = (p_hi[1:] != p_hi[:-1]) | (p_lo[1:] != p_lo[:-1])
+            gid = np.cumsum(first) - 1
+            n_unique = int(first.sum())
+            mult_f = np.zeros(n_unique, np.int32)
+            mult_m = np.zeros(n_unique, np.int32)
+            np.add.at(mult_f, gid, p_f)
+            np.add.at(mult_m, gid, p_m)
+            u_hi, u_lo = p_hi[first], p_lo[first]
         if n_unique > max_parameter_kmers:
             sel = rng.choice(n_unique, max_parameter_kmers, replace=False)
             sel.sort()
