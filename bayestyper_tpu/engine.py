@@ -1415,8 +1415,12 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     # is across clusters within a chain), so split them into groups that
     # keep cluster x chain under a measured-safe cap. Per-chain keys are
     # chain0-based, so the grouping is bit-exact vs one program.
+    # Default calibrated from evidence: 77k clusters x 20 chains fit at
+    # 4096-cluster chunks (HUMAN_SCALE_r03), while 42k x 20 at 16384-cluster
+    # chunks was rejected — per-chunk temps, not the total, drove that OOM.
+    # The cap still guards pathological unit compositions.
     c_total = sum(int(b.num_clusters) for b in buckets)
-    cap = int(os.environ.get("BT_CLUSTER_CHAINS_CAP", 150_000))
+    cap = int(os.environ.get("BT_CLUSTER_CHAINS_CAP", 2_000_000))
     chain_step = max(1, min(opts.num_chains, cap // max(c_total, 1)))
     # pick a divisor of num_chains so every group shares one compiled shape
     while opts.num_chains % chain_step:
