@@ -12,6 +12,8 @@ from __future__ import annotations
 import enum
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..constants import MAX_ALLELE_LENGTH
 
 
@@ -250,7 +252,7 @@ def copy_number_variant_length(allele_seq: str, chrom_seq: bytes,
     k-mers with the allele sequence — duplications/CNVs then pull the
     repeated reference copies into the variant's cluster influence region.
     """
-    from ..ops.kmers import encode_bases, kmer_lanes
+    from ..ops.kmers import encode_bases, kmer_lanes, lane_search
 
     if len(allele_seq) < kmer_size:
         return 0
@@ -258,7 +260,10 @@ def copy_number_variant_length(allele_seq: str, chrom_seq: bytes,
     hi, lo, ok = kmer_lanes(codes, valid, kmer_size)
     if not ok.any():
         return 0
-    allele_kmers = set(zip(hi[ok].tolist(), lo[ok].tolist()))
+    a_hi, a_lo = hi[ok], lo[ok]
+    order = np.lexsort((a_lo, a_hi))
+    a_hi = np.ascontiguousarray(a_hi[order])
+    a_lo = np.ascontiguousarray(a_lo[order])
 
     length = 0
     chrom_len = len(chrom_seq)
@@ -269,24 +274,27 @@ def copy_number_variant_length(allele_seq: str, chrom_seq: bytes,
             break
         wcodes, wvalid = encode_bases(chrom_seq[window_start:window_end])
         whi, wlo, wok = kmer_lanes(wcodes, wvalid, kmer_size)
-        hits = [
-            (int(h), int(l)) in allele_kmers
-            for h, l, o in zip(whi, wlo, wok) if o
-        ]
-        if not hits:
+        whi, wlo = whi[wok], wlo[wok]
+        if len(whi) == 0:
             break
+        hits = lane_search(a_hi, a_lo, whi, wlo) >= 0
         # best-scoring prefix window (identical-kmer fraction over windows
-        # ending at each position, ties -> longest)
-        best_frac = 0.0
-        best_len = 0
-        cum = 0
-        for i, hit in enumerate(hits):
-            cum += hit
-            if cum > 0:
-                frac = cum / (i + 1)
-                if frac >= best_frac - 1e-12:
-                    best_frac = max(best_frac, frac)
-                    best_len = i + kmer_size
+        # ending at each position, ties -> longest). Vectorised form of the
+        # scalar scan: an index i is "selected" when cum>0 and its fraction
+        # is within eps of the running max over earlier selected indices
+        # (whose fractions are 0 on the cum==0 prefix, matching the scalar
+        # loop's best_frac=0 init); the answer is the LAST selected index.
+        cum = np.cumsum(hits.astype(np.int64))
+        frac = cum / np.arange(1, len(hits) + 1, dtype=np.float64)
+        rm_prev = np.empty_like(frac)
+        rm_prev[0] = 0.0
+        if len(frac) > 1:
+            np.maximum.accumulate(frac[:-1], out=rm_prev[1:])
+        sel = (cum > 0) & (frac >= rm_prev - 1e-12)
+        if not sel.any():
+            break
+        best_len = int(np.flatnonzero(sel)[-1]) + kmer_size
+        best_frac = float(frac.max())
         if best_frac < threshold or best_len == 0:
             break
         length += best_len
