@@ -182,6 +182,49 @@ def build_bucket(clusters, size_class, num_samples):
     )
 
 
+def stack_buckets(buckets):
+    """Stack same-shape ClusterBuckets on a NEW leading chunk axis [B, ...].
+
+    The chunk-stacked Gibbs programs (gibbs.genotype_stacked,
+    noise_chains_stacked) run B same-class cluster chunks through ONE
+    compiled scan body vmapped over this axis — replacing B identical
+    sub-bodies per program (the round-3 executable-size/compile-time
+    bottleneck; InferenceEngine.cpp:62-74 is the one-thread-pool-program
+    analogue being matched). Works on host (numpy) or device (jnp) arrays.
+    """
+    first = buckets[0]
+    if len(buckets) == 1:
+        return ClusterBucket(
+            **{f.name: jnp.asarray(getattr(first, f.name))[None]
+               for f in dataclasses.fields(ClusterBucket)}
+        )
+    return ClusterBucket(
+        **{f.name: jnp.stack([jnp.asarray(getattr(b, f.name))
+                              for b in buckets])
+           for f in dataclasses.fields(ClusterBucket)}
+    )
+
+
+def slice_bucket(sbucket, b: int):
+    """Chunk b of a stacked bucket (inverse of stack_buckets)."""
+    return ClusterBucket(
+        **{f.name: getattr(sbucket, f.name)[b]
+           for f in dataclasses.fields(ClusterBucket)}
+    )
+
+
+def zero_bucket_like(bucket):
+    """All-zero dummy chunk for padding the stack axis to a power of two.
+
+    Zero ploidy = null for every sample, so each padded cluster
+    deterministically samples the null outcome; cluster_valid is all False
+    so nothing it produces is consumed."""
+    return ClusterBucket(
+        **{f.name: jnp.zeros_like(jnp.asarray(getattr(bucket, f.name)))
+           for f in dataclasses.fields(ClusterBucket)}
+    )
+
+
 _GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
 
 

@@ -1363,6 +1363,363 @@ def joint_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
     )
 
 
+# ---------------------------------------------------------------------------
+# chunk-stacked programs: B same-class cluster chunks through ONE scan body
+# ---------------------------------------------------------------------------
+#
+# Round-3 measurement: each tuple element of the *_multi programs compiles
+# its own sub-body, so B same-shape chunks cost a B-times-larger executable
+# and a fresh minutes-long remote compile per distinct composition (the
+# 72 MB-executable tunnel wedge, STATUS r3).  Chunks of one size class are
+# SHAPE-IDENTICAL, and every per-cluster stream is keyed on cluster_id —
+# so they can ride a new leading [B] axis with the iteration body vmapped
+# over it: one compiled body for any B, bit-identical per-cluster results
+# (tests/test_gibbs_stacked.py).  The expensive precompute
+# (compute_log_likelihoods materialises multi-GB one-hot temps per chunk)
+# runs through lax.map, i.e. sequentially over B, so peak HBM stays at one
+# chunk's working set while the latency-bound 350-step scan runs at full
+# stacked width.
+
+
+def _osp_arrays(outcomes: OutcomeSpace):
+    return (
+        jnp.asarray(outcomes.oa),
+        jnp.asarray(outcomes.ob),
+        jnp.asarray(outcomes.het_bonus),
+        jnp.asarray(outcomes.ploidy_mask),
+    )
+
+
+def _freqs0(bucket, num_chains):
+    """Per-chain uniform initial frequencies over real haplotypes."""
+    hv = bucket.hap_valid
+    nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
+    f0 = jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)
+    return jnp.broadcast_to(
+        f0[:, None, :],
+        (bucket.num_clusters, num_chains, bucket.num_haplotypes),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("outcomes", "cfg"))
+def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
+                     cfg: GibbsConfig):
+    """Frozen-noise genotyping of a [B]-stacked bucket of same-class chunks.
+
+    Per-cluster results are bit-identical to per-chunk genotype_bucket calls
+    (streams are cluster-keyed; stacking is purely a scheduling decision).
+
+    Returns (tally [B, C, ch, S, O] int32, w [B, C, ch, K] bool).
+    """
+    num_iters = cfg.burn_in + cfg.num_samples
+    o = outcomes.num_outcomes
+    osp = _osp_arrays(outcomes)
+
+    def pre(bucket_b):
+        k_sub, k_chain = jax.random.split(base_key)
+        w = _subsample_with_cap(k_sub, bucket_b, cfg.num_chains, cfg)
+        ll = compute_log_likelihoods(
+            bucket_b, outcomes, tables, w, cfg.max_total_mult,
+            include_noise_row=True, has_inter=cfg.has_inter,
+        )
+        chain_keys = _chain_keys(k_chain, bucket_b.cluster_id, cfg.num_chains)
+        return w, ll, chain_keys, _freqs0(bucket_b, cfg.num_chains)
+
+    w, ll, chain_keys, freqs0 = jax.lax.map(pre, sbucket)
+
+    def step(carry, t):
+        freqs, tally = carry
+
+        def per_cc(ck, f, llcc, ploidy, hvc, sp, usp):
+            key = jax.random.fold_in(ck, t.astype(jnp.uint32))
+            return _gibbs_iteration(key, f, llcc, ploidy, hvc, sp, usp, osp)
+
+        per_cluster = jax.vmap(  # over chains
+            per_cc, in_axes=(0, 0, 0, None, None, None, None)
+        )
+        new_freqs, o_sel = jax.vmap(jax.vmap(  # over chunks, clusters
+            per_cluster, in_axes=(0, 0, 0, 0, 0, 0, 0)
+        ))(chain_keys, freqs, ll, sbucket.ploidy, sbucket.hap_valid,
+           sbucket.sparsity, sbucket.use_sparse)
+
+        collect = (t >= cfg.burn_in).astype(jnp.int32)
+        onehot = (
+            jnp.arange(o, dtype=jnp.int32) == o_sel[..., None]
+        ).astype(jnp.int32)
+        return (new_freqs, tally + collect * onehot), None
+
+    b, c = sbucket.mult.shape[:2]
+    s = sbucket.counts.shape[3]
+    tally0 = jnp.zeros((b, c, cfg.num_chains, s, o), jnp.int32)
+    (_, tally), _ = jax.lax.scan(
+        step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32),
+        unroll=SCAN_UNROLL,
+    )
+    return tally, w
+
+
+def _noise_setup_stacked(base_key, k_master, sbucket, tables, outcomes, cfg,
+                         num_chains):
+    """Per-class stacked precompute for the noise/joint chain programs.
+
+    lax.map over the chunk axis: one chunk's one-hot temps at a time."""
+    def pre(bucket_b):
+        def per_chain_w(km):
+            # draws are keyed per cluster inside _subsample_with_cap, so no
+            # bucket/chunk-index fold: a cluster's subset is independent of
+            # which chunk it landed in
+            k_sub, k_chain = jax.random.split(km)
+            return _subsample_with_cap(k_sub, bucket_b, 1, cfg)[:, 0], k_chain
+
+        w_ch, k_chain_ch = jax.vmap(per_chain_w)(k_master)  # [ch,C,K],[ch,2]
+        w = jnp.transpose(w_ch, (1, 0, 2))  # [C, ch, K]
+        llg = compute_log_likelihoods(
+            bucket_b, outcomes, tables, w, cfg.max_total_mult,
+            include_noise_row=False, has_inter=cfg.has_inter,
+        )
+        a, b_, c0 = compute_noise_terms(bucket_b, outcomes, w, cfg.has_inter)
+        cluster_keys = jax.vmap(
+            lambda kc: jax.vmap(
+                lambda cid: jax.random.fold_in(
+                    jax.random.fold_in(kc, cid.astype(jnp.uint32)), 0
+                )
+            )(bucket_b.cluster_id)
+        )(k_chain_ch)  # [ch, C, 2]
+        cluster_keys = jnp.transpose(cluster_keys, (1, 0, 2))  # [C, ch, 2]
+        return w, llg, a, b_, c0, cluster_keys, _freqs0(bucket_b, num_chains)
+
+    w, llg, a, b_, c0, cluster_keys, freqs0 = jax.lax.map(pre, sbucket)
+    return dict(
+        sbucket=sbucket, w=w, llg=llg, a=a, b=b_, c0=c0,
+        cluster_keys=cluster_keys, freqs0=freqs0,
+        osp=_osp_arrays(outcomes), num_outcomes=outcomes.num_outcomes,
+    )
+
+
+def _stacked_class_step(su, freqs, t, ll):
+    """One Gibbs iteration for every (chunk, cluster, chain) of one class."""
+    def per_cc(ck, f, llcc, ploidy, hvc, sp, usp, osp=su["osp"]):
+        key = jax.random.fold_in(ck, t.astype(jnp.uint32))
+        return _gibbs_iteration(key, f, llcc, ploidy, hvc, sp, usp, osp)
+
+    sbucket = su["sbucket"]
+    per_cluster = jax.vmap(per_cc, in_axes=(0, 0, 0, None, None, None, None))
+    return jax.vmap(jax.vmap(  # over chunks, clusters
+        per_cluster, in_axes=(0, 0, 0, 0, 0, 0, 0)
+    ))(su["cluster_keys"], freqs, ll, sbucket.ploidy, sbucket.hap_valid,
+       sbucket.sparsity, sbucket.use_sparse)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("outcomes_list", "cfgs", "num_chains", "axis_name"),
+)
+def noise_chains_stacked(base_key, sbuckets, noise_valids, tables, init_rates,
+                         noise_prior, outcomes_list, cfgs, num_chains,
+                         chain0=0, axis_name: str | None = None):
+    """ALL noise chains over MULTIPLE size classes, each class a [B]-stacked
+    bucket, in ONE compiled program with one scan body per class.
+
+    Identical semantics to noise_chains_multi (per-chain RNG streams, the
+    exact int32 pooled gamma update, chain batching) with the chunk axis
+    vmapped instead of unrolled into B sub-bodies.
+
+    Args:
+      sbuckets: tuple of stacked ClusterBucket, one per size class.
+      noise_valids: tuple of [B, C] bool — clusters contributing noise
+        sufficient statistics. The noise pool is single-cluster groups only
+        (InferenceEngine.cpp:141-151); chunks are SHARED with the genotype
+        wave plan, so multi-cluster-group members ride along masked here
+        (their draws touch nothing: contributions are gated by this mask
+        and clusters are otherwise independent under frozen tables).
+    Returns (rate_sum [num_chains, S], trace [num_chains, iters, S]).
+    """
+    num_iters = cfgs[0].burn_in + cfgs[0].num_samples
+    prior_shape, prior_scale = noise_prior
+    chain_ids = chain0 + jnp.arange(num_chains, dtype=jnp.uint32)
+    k_master = jax.vmap(lambda ci: jax.random.fold_in(base_key, ci))(
+        chain_ids
+    )  # [ch, 2]
+    k_noise = jax.vmap(
+        lambda km: jax.random.fold_in(km, jnp.uint32(0x6E6F6973))  # "nois"
+    )(k_master)
+
+    setups = []
+    for sbucket, nv, outcomes, cfg in zip(
+        sbuckets, noise_valids, outcomes_list, cfgs
+    ):
+        su = _noise_setup_stacked(
+            base_key, k_master, sbucket, tables, outcomes, cfg, num_chains
+        )
+        su["cv"] = nv.astype(jnp.float32)  # [B, C]
+        setups.append(su)
+
+    def step(carry, t):
+        freqs_list, rates = carry  # rates: [ch, S]
+        log_r = jnp.log(jnp.maximum(rates, 1e-30))
+        count_sum = jnp.zeros(rates.shape, jnp.int32)
+        num_obs = jnp.zeros(rates.shape, jnp.int32)
+        new_freqs_list = []
+        for su, freqs in zip(setups, freqs_list):
+            # null-outcome column zeroed via .at[..., -1].set — matches the
+            # *_multi ll_mask multiply exactly (masked entries are exactly
+            # 0.0) without storing a full-size mask array
+            noise_part = (
+                su["a"] * log_r[None, None, :, :, None]
+                - su["b"] * rates[None, None, :, :, None]
+                - su["c0"]
+            )
+            noise_part = noise_part.at[..., -1].set(0.0)
+            ll = su["llg"] + noise_part
+            new_freqs, o_sel = _stacked_class_step(su, freqs, t, ll)
+            # o_sel: [B, C, ch, S]
+            a_sel = _select_outcome(su["a"], o_sel)
+            b_sel = _select_outcome(su["b"], o_sel)
+            # int32: exact, order-independent (see noise_chain)
+            count_sum = count_sum + jnp.sum(
+                (a_sel * su["cv"][:, :, None, None]).astype(jnp.int32),
+                axis=(0, 1),
+            )
+            num_obs = num_obs + jnp.sum(
+                (b_sel * su["cv"][:, :, None, None]).astype(jnp.int32),
+                axis=(0, 1),
+            )
+            new_freqs_list.append(new_freqs)
+
+        if axis_name is not None:
+            count_sum = jax.lax.psum(count_sum, axis_name)
+            num_obs = jax.lax.psum(num_obs, axis_name)
+
+        from ..ops.sampling import fixed_round_gamma
+        shape = prior_shape + count_sum        # [ch, S]
+        scale = prior_scale / (num_obs * prior_scale + 1.0)
+
+        def per_chain_rates(kn, sh):
+            k_it = jax.random.fold_in(kn, t.astype(jnp.uint32))
+            return fixed_round_gamma(k_it, sh)
+
+        new_rates = jax.vmap(per_chain_rates)(k_noise, shape) * scale
+
+        collect = (t >= cfgs[0].burn_in).astype(jnp.float32)
+        return (tuple(new_freqs_list), new_rates), (new_rates, collect)
+
+    freqs0_list = tuple(su["freqs0"] for su in setups)
+    (_, _), (trace, collected) = jax.lax.scan(
+        step, (freqs0_list, init_rates), jnp.arange(num_iters, dtype=jnp.int32),
+        unroll=SCAN_UNROLL,
+    )
+    trace = jnp.transpose(trace, (1, 0, 2))  # [ch, iters, S]
+    rate_sum = jnp.sum(trace * collected[None, :, None], axis=1)
+    return rate_sum, trace
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("outcomes_list", "cfgs", "num_chains", "axis_name"),
+)
+def joint_chains_stacked(base_key, sbuckets, tables, init_rates, noise_prior,
+                         outcomes_list, cfgs, num_chains, chain0=0,
+                         axis_name: str | None = None):
+    """ALL joint noise+genotyping chains over stacked size classes in ONE
+    program (--noise-genotyping, estimateNoiseAndGenotypes
+    InferenceEngine.cpp:384-472) — joint_chains_multi with the chunk axis
+    vmapped. Every cluster participates in the per-iteration noise pooling
+    (the joint pool is all groups, not just single-cluster ones).
+
+    Returns (tallies, ws, rate_trace): per class tally [B, C, ch, S, O]
+    int32 and w [B, C, ch, K] bool, plus the [ch, iters, S] rate trace.
+    """
+    num_iters = cfgs[0].burn_in + cfgs[0].num_samples
+    prior_shape, prior_scale = noise_prior
+    chain_ids = chain0 + jnp.arange(num_chains, dtype=jnp.uint32)
+    k_master = jax.vmap(lambda ci: jax.random.fold_in(base_key, ci))(
+        chain_ids
+    )
+    k_noise = jax.vmap(
+        lambda km: jax.random.fold_in(km, jnp.uint32(0x6E6F6973))  # "nois"
+    )(k_master)
+
+    setups = []
+    for sbucket, outcomes, cfg in zip(sbuckets, outcomes_list, cfgs):
+        su = _noise_setup_stacked(
+            base_key, k_master, sbucket, tables, outcomes, cfg, num_chains
+        )
+        su["cv"] = sbucket.cluster_valid.astype(jnp.float32)  # [B, C]
+        setups.append(su)
+
+    def step(carry, t):
+        freqs_list, rates, tally_list = carry
+        log_r = jnp.log(jnp.maximum(rates, 1e-30))
+        count_sum = jnp.zeros(rates.shape, jnp.int32)
+        num_obs = jnp.zeros(rates.shape, jnp.int32)
+        new_freqs_list, new_tally_list = [], []
+        collect = (t >= cfgs[0].burn_in).astype(jnp.int32)
+        for su, freqs, tally in zip(setups, freqs_list, tally_list):
+            # null-outcome column zeroed via .at[..., -1].set — matches the
+            # *_multi ll_mask multiply exactly (masked entries are exactly
+            # 0.0) without storing a full-size mask array
+            noise_part = (
+                su["a"] * log_r[None, None, :, :, None]
+                - su["b"] * rates[None, None, :, :, None]
+                - su["c0"]
+            )
+            noise_part = noise_part.at[..., -1].set(0.0)
+            ll = su["llg"] + noise_part
+            new_freqs, o_sel = _stacked_class_step(su, freqs, t, ll)
+            a_sel = _select_outcome(su["a"], o_sel)
+            b_sel = _select_outcome(su["b"], o_sel)
+            count_sum = count_sum + jnp.sum(
+                (a_sel * su["cv"][:, :, None, None]).astype(jnp.int32),
+                axis=(0, 1),
+            )
+            num_obs = num_obs + jnp.sum(
+                (b_sel * su["cv"][:, :, None, None]).astype(jnp.int32),
+                axis=(0, 1),
+            )
+            onehot = (
+                jnp.arange(su["num_outcomes"], dtype=jnp.int32)
+                == o_sel[..., None]
+            ).astype(jnp.int32)
+            new_tally_list.append(tally + collect * onehot)
+            new_freqs_list.append(new_freqs)
+
+        if axis_name is not None:
+            count_sum = jax.lax.psum(count_sum, axis_name)
+            num_obs = jax.lax.psum(num_obs, axis_name)
+
+        from ..ops.sampling import fixed_round_gamma
+        shape = prior_shape + count_sum
+        scale = prior_scale / (num_obs * prior_scale + 1.0)
+
+        def per_chain_rates(kn, sh):
+            k_it = jax.random.fold_in(kn, t.astype(jnp.uint32))
+            return fixed_round_gamma(k_it, sh)
+
+        new_rates = jax.vmap(per_chain_rates)(k_noise, shape) * scale
+        return (
+            tuple(new_freqs_list), new_rates, tuple(new_tally_list)
+        ), new_rates
+
+    tally0 = tuple(
+        jnp.zeros(
+            su["sbucket"].mult.shape[:2]
+            + (num_chains, su["sbucket"].counts.shape[3],
+               su["num_outcomes"]),
+            jnp.int32,
+        )
+        for su in setups
+    )
+    freqs0_list = tuple(su["freqs0"] for su in setups)
+    (_, _, tallies), trace = jax.lax.scan(
+        step, (freqs0_list, init_rates, tally0),
+        jnp.arange(num_iters, dtype=jnp.int32),
+        unroll=SCAN_UNROLL,
+    )
+    return tallies, tuple(su["w"] for su in setups), jnp.transpose(
+        trace, (1, 0, 2)
+    )
+
+
 def joint_chain_multi(base_key, buckets, tables, init_rates, noise_prior,
                       outcomes_list, cfgs, chain_idx,
                       axis_name: str | None = None):
