@@ -719,6 +719,37 @@ def _shard_for_mesh(bucket, tables, mesh):
     return bucket, tables
 
 
+def _replicate_for_mesh(arr, mesh):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def _shard_stacked_for_mesh(sbucket, mesh):
+    """Shard a [B]-stacked bucket on its CLUSTER axis (axis 1): the chunk
+    axis stays replicated-sequential while XLA partitions every per-cluster
+    computation across the mesh (cluster-data parallelism, SURVEY §2.5)."""
+    import dataclasses as _dc
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .model.buckets import ClusterBucket
+
+    spec = NamedSharding(mesh, P(None, "data"))
+    return ClusterBucket(
+        **{f.name: jax.device_put(getattr(sbucket, f.name), spec)
+           for f in _dc.fields(ClusterBucket)}
+    )
+
+
+def _shard_stacked_mask(arr, mesh):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(arr, NamedSharding(mesh, P(None, "data")))
+
+
 def _needs_cap(fcs, cap: int) -> bool:
     """Static gate for the exact per-chain kmer cap: the cap can only bind
     when some (haplotype, variant) pool exceeds it."""
@@ -876,19 +907,120 @@ def parameter_kmer_stats(unit, samples, table, counts):
 
 
 def _bucket_limit(opts, k, h, s, max_tot, num_chains,
-                  budget_bytes=2 << 30) -> int:
-    """Per-class cluster cap: big buckets amortise the per-iteration scan
-    overhead on device (512-cluster buckets leave the TPU latency-bound),
-    but the LL precompute working set scales with K*O and S*M*K — bound it
-    by an HBM budget so giant classes don't OOM."""
+                  budget_bytes=4 << 30) -> int:
+    """Per-class cluster chunk size: big chunks amortise the per-iteration
+    scan overhead on device, but the LL precompute materialises multi-GB
+    one-hot temps per chunk — bound the chunk by the measured-dominant
+    transients (the [C,K,S,256] bf16 count one-hot, the [C,K,S,M] f32 P
+    table, the [C,K,S,O] f32 gathered Q) so chunk precompute peaks stay
+    under `budget_bytes`. Floored to a power of two so every chunk of a
+    class shares one padded shape (zero tail waste in the stacked
+    programs)."""
     o = h * (h + 1) // 2 + h + 1
-    per_cluster = 4 * (
-        s * (max_tot + 1) * k       # q table gather
-        + k * o                     # dip_mult
-        + num_chains * s * (k + o)  # subsample masks + LL
+    m = max_tot + 1
+    per_cluster = (
+        k * s * 256 * 2          # one-hot(counts) bf16
+        + k * s * m * 4          # P[c,k,s,m] f32
+        + k * s * o * 4          # Q[c,k,s,o] f32 (+ inter idx, same size)
+        + k * s * o * 4
+        + num_chains * s * o * 8  # resident ll + tally
+        + num_chains * k         # subsample masks
     )
-    return max(64, min(opts.max_bucket_clusters,
-                       budget_bytes // max(per_cluster, 1)))
+    limit = max(64, min(opts.max_bucket_clusters,
+                        budget_bytes // max(per_cluster, 1)))
+    p = 64
+    while p * 2 <= limit:
+        p *= 2
+    return p
+
+
+@dataclasses.dataclass
+class _PlanClass:
+    """One size class of the shared chunk plan (see _plan_unit)."""
+
+    chunks: list            # list[list[FinalizedCluster]], each <= c_pad
+    c_pad: int              # padded cluster capacity shared by every chunk
+    k: int
+    h: int
+    v: int
+    a: int
+    cfg: object             # GibbsConfig (genotype chain count)
+    per_chunk_bytes: int    # resident scan-state estimate per chunk
+
+
+def _plan_unit(singles, class_map, opts, samples, mesh):
+    """Shared per-class chunk plan for the noise phase and the genotype
+    waves: identical chunk boundaries mean each chunk's device bucket is
+    built and uploaded ONCE per unit (bucket_cache) and the class-level
+    apply_cap / has_inter gates agree between phases.
+
+    Chunks are fixed at the class's padded capacity c_pad, so all chunks of
+    a class are shape-identical and stack on a leading [B] axis
+    (gibbs.genotype_stacked / noise_chains_stacked)."""
+    from .model.gibbs import GibbsConfig
+
+    by_class = defaultdict(list)
+    for fc in singles:
+        by_class[class_map[fc.cluster_id]].append(fc)
+    plan = {}
+    s = len(samples)
+    for (h, k, v, a), fcs in sorted(by_class.items()):
+        fcs.sort(key=lambda fc: fc.cluster_id)
+        max_tot = _step_at_least(
+            min(
+                255,
+                2 * max(int(fc.mult.max(initial=1)) for fc in fcs)
+                + max(int(fc.inter_mult_female.max(initial=0)) for fc in fcs)
+                + max(int(fc.inter_mult_male.max(initial=0)) for fc in fcs),
+            ),
+            8, 4,
+        )
+        c_limit = _bucket_limit(opts, k, h, s, max_tot, opts.num_chains)
+        c_pad = _pad_clusters(min(c_limit, len(fcs)), mesh)
+        chunks = [fcs[i : i + c_pad] for i in range(0, len(fcs), c_pad)]
+        cfg = GibbsConfig(
+            num_chains=opts.num_chains, burn_in=opts.burn_in,
+            num_samples=opts.num_samples,
+            kmer_subsampling_rate=opts.kmer_subsampling_rate,
+            max_total_mult=max_tot,
+            max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
+            apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
+            has_inter=_any_inter(fcs),
+        )
+        o = h * (h + 1) // 2 + h + 1
+        per_chunk = c_pad * (
+            opts.num_chains * s * o * 8       # ll + tally
+            + opts.num_chains * k             # w
+            + k * (2 * s + h + 4 * v)         # bucket tensors
+        )
+        plan[(h, k, v, a)] = _PlanClass(
+            chunks=chunks, c_pad=c_pad, k=k, h=h, v=v, a=a, cfg=cfg,
+            per_chunk_bytes=per_chunk,
+        )
+    return plan
+
+
+# resident HBM budget for one stacked genotype group (scan state + stacked
+# bucket tensors); the precompute transients on top are bounded per chunk
+# by _bucket_limit's own budget
+_STACK_BUDGET_BYTES = int(os.environ.get("BT_STACK_BUDGET", 2 << 30))
+
+
+def _stack_groups(chunks, per_chunk_bytes):
+    """Split a class's chunk list into stacked groups under the HBM budget,
+    each group's B padded to a power of two (bounding distinct compiled
+    (class, B) shapes to log2 many)."""
+    b_cap = max(1, _STACK_BUDGET_BYTES // max(per_chunk_bytes, 1))
+    p = 1
+    while p * 2 <= b_cap:
+        p *= 2
+    b_cap = p
+    groups = []
+    for i in range(0, len(chunks), b_cap):
+        group = chunks[i : i + b_cap]
+        b_pad = _pow2_at_least(len(group), 1)
+        groups.append((group, b_pad))
+    return groups
 
 
 def _mac_top_t(outcomes) -> int:
@@ -1302,17 +1434,26 @@ def _bucket_cached(cache, fcs, caps, samples, ploidy_model, ucounts, seed,
 
 def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
                    opts: GenotypeOptions, ucounts=None, genomic_tables=None,
-                   bucket_cache=None, class_map=None):
+                   bucket_cache=None, class_map=None, plan=None):
     """Noise rate estimation over single-cluster groups of EVERY size class
     (estimateNoise, InferenceEngine.cpp:135-276; group selection :141-151
-    has no size restriction). Clusters are bucketed per size class and all
-    classes run inside one compiled chain whose per-iteration gamma update
-    pools the sufficient statistics across classes (noise_chain_multi)."""
+    has no size restriction).
+
+    The reference draws ~100k variants from a shuffled single-cluster pool;
+    here the draw is CHUNK-granular over the shared per-class chunk plan
+    (_plan_unit): whole shuffled chunks are taken until the variant target
+    is met, so the noise batch's device buckets are exactly a subset of the
+    genotype wave chunks (built + uploaded once, bucket_cache). Below the
+    target size (every test/golden workload) the selected set — and thus
+    every result — is identical to the per-cluster draw. Multi-cluster-
+    group members riding along in a chunk are masked out of the pooled
+    statistics (noise_valids), preserving the reference's single-cluster-
+    group pool exactly. All classes and chains run inside ONE compiled
+    stacked program (noise_chains_stacked)."""
     import jax
     import jax.numpy as jnp
-    from .model.gibbs import (
-        GibbsConfig, make_outcome_space, noise_chains_multi,
-    )
+    from .model.gibbs import make_outcome_space, noise_chains_stacked
+    from .model.buckets import stack_buckets
     from .ops.distributions import np_build_count_log_prob_tables
 
     rng = np.random.default_rng(opts.random_seed)
@@ -1321,39 +1462,46 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
         raise ValueError("no clusters to estimate noise from")
     if ucounts is None:
         ucounts = _UnitCounts(unit, table, counts)
-    # every cluster whose group has exactly one cluster qualifies; nested
-    # groups (parent or child) are excluded like the reference's
-    # numberOfVariantClusters() == 1 check
-    pool = [fc for fc in unit.compiled if _is_single_cluster_group(fc)]
-    if not pool:
-        pool = list(unit.compiled)[:1]
-    rng.shuffle(pool)
-    batch = []
-    num_vars = 0
-    for fc in pool:
-        # the reference draws ~100k variants (NOISE_ESTIMATION_VARIANTS)
-        # from the shuffled single-cluster pool (InferenceEngine.cpp:141-151);
-        # the cluster cap is only an HBM safety net (classes split into
-        # _bucket_limit-sized buckets below)
-        if num_vars >= NOISE_ESTIMATION_VARIANTS or len(batch) >= 262144:
-            break
-        batch.append(fc)
-        num_vars += len(fc.variants)
-
+    singles = [
+        fc for fc in unit.compiled
+        if getattr(fc, "parent_id", -1) < 0
+        and not getattr(fc, "children_ids", [])
+    ] or list(unit.compiled)[:1]
     if class_map is None:
-        class_map = _class_map(
-            [fc for fc in unit.compiled if _is_single_cluster_group(fc)]
-            or list(unit.compiled)[:1]
-        )
-    by_class = defaultdict(list)
-    for fc in batch:
-        by_class[class_map[fc.cluster_id]].append(fc)
-    # within-class order normalised to cluster_id so chunks coincide with
-    # the genotype wave chunks and the built device buckets can be shared
-    # (results are invariant: subsample/Gibbs streams are cluster-keyed and
-    # the per-iteration noise statistics pool exactly across buckets)
-    for cls_fcs in by_class.values():
-        cls_fcs.sort(key=lambda fc: fc.cluster_id)
+        class_map = _class_map(singles)
+    mesh = _get_mesh(opts)
+    if plan is None:
+        plan = _plan_unit(singles, class_map, opts, samples, mesh)
+
+    # chunk-granular batch draw; a chunk's weight is its single-cluster-
+    # group variant count (only those clusters feed the pooled statistics)
+    entries = []
+    for key_cls in sorted(plan):
+        pc = plan[key_cls]
+        for ci, chunk in enumerate(pc.chunks):
+            nv = sum(
+                len(fc.variants) for fc in chunk
+                if _is_single_cluster_group(fc)
+            )
+            entries.append((key_cls, ci, nv))
+    order = rng.permutation(len(entries))
+    selected = defaultdict(list)
+    num_vars = 0
+    for ei in order:
+        key_cls, ci, nv = entries[ei]
+        if nv == 0:
+            continue
+        if num_vars >= NOISE_ESTIMATION_VARIANTS:
+            break
+        selected[key_cls].append(ci)
+        num_vars += nv
+    fallback_first_chunk = not selected
+    if fallback_first_chunk:
+        # no single-cluster groups at all: fall back to the first chunk with
+        # every real cluster contributing (the prior behaviour for units of
+        # only multi-cluster groups)
+        key_cls = sorted(plan)[0]
+        selected[key_cls] = [0]
 
     tables = jnp.asarray(
         np_build_count_log_prob_tables(
@@ -1361,75 +1509,70 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
             genomic=genomic_tables,
         )
     )
-    mesh = _get_mesh(opts)
+    if mesh is not None:
+        tables = _replicate_for_mesh(tables, mesh)
 
-    buckets, outcomes_list, cfgs = [], [], []
-    for (h, k, v, a), cls_fcs in sorted(by_class.items()):
-        max_tot_cls = _step_at_least(int(
-            min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in cls_fcs)
-                + max(1, max(int(fc.inter_mult_female.max(initial=0))
-                             for fc in cls_fcs)))
-        ), 8, 4)
-        c_limit = _bucket_limit(
-            opts, k, h, len(samples), max_tot_cls, opts.num_chains
-        )
-        for start in range(0, len(cls_fcs), c_limit):
-            fcs = cls_fcs[start : start + c_limit]
-            c_pad = _pad_clusters(len(fcs), mesh)
-            bucket = _bucket_cached(
-                bucket_cache, fcs, (c_pad, k, h, v), samples, ploidy_model,
-                ucounts, seed,
-            )
-            if mesh is not None:
-                bucket, tables = _shard_for_mesh(bucket, tables, mesh)
-            buckets.append(bucket)
-            outcomes_list.append(make_outcome_space(h))
-            cfgs.append(GibbsConfig(
-                num_chains=1, burn_in=opts.burn_in,
-                num_samples=opts.num_samples,
-                kmer_subsampling_rate=opts.kmer_subsampling_rate,
-                max_total_mult=max_tot_cls,
-                max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
-                apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
-                has_inter=_any_inter(fcs),
+    sbuckets, valids, outcomes_list, cfgs = [], [], [], []
+    per_chain_bytes = 0
+    for key_cls in sorted(selected):
+        pc = plan[key_cls]
+        sel = sorted(selected[key_cls])
+        bs, nvs = [], []
+        for ci in sel:
+            chunk = pc.chunks[ci]
+            bs.append(_bucket_cached(
+                bucket_cache, chunk, (pc.c_pad, pc.k, pc.h, pc.v), samples,
+                ploidy_model, ucounts, seed,
             ))
-    _log(f"Estimating noise from {num_vars} variants in {len(buckets)} "
-         f"size classes")
+            mask = np.zeros(pc.c_pad, bool)
+            if fallback_first_chunk:
+                mask[: len(chunk)] = True
+            else:
+                mask[: len(chunk)] = [
+                    _is_single_cluster_group(fc) for fc in chunk
+                ]
+            nvs.append(mask)
+        sb = stack_buckets(bs)
+        nv_arr = jnp.asarray(np.stack(nvs))
+        if mesh is not None:
+            sb = _shard_stacked_for_mesh(sb, mesh)
+            nv_arr = _shard_stacked_mask(nv_arr, mesh)
+        sbuckets.append(sb)
+        valids.append(nv_arr)
+        outcomes = make_outcome_space(pc.h)
+        outcomes_list.append(outcomes)
+        cfgs.append(pc.cfg)
+        per_chain_bytes += (
+            len(sel) * pc.c_pad * len(samples) * outcomes.num_outcomes * 16
+        )
+    _log(f"Estimating noise from {num_vars} variants in {len(sbuckets)} "
+         f"size classes ({sum(len(v) for v in selected.values())} chunks)")
 
     shape, scale = opts.noise_rate_prior
     key = jax.random.PRNGKey(opts.random_seed)
-    # all chains batched in ONE program: the count-table gathers amortise
-    # across chains and the 350-step scan runs once at chain width (the
-    # per-chain RNG streams are identical to sequential dispatch)
     k77 = jax.random.fold_in(key, 77)
     init_rates = jax.vmap(
         lambda ci: jax.random.gamma(
             jax.random.fold_in(k77, ci), shape, (len(samples),)
         )
     )(jnp.arange(opts.num_chains, dtype=jnp.uint32)) * scale  # [ch, S]
-    # HBM guard: tensors with tiny minor dims (S samples, O outcomes) pad
-    # ~10x under the TPU's (8,128) tiling, so the resident per-(cluster,
-    # chain) state of the merged noise program is far larger than its byte
-    # count — a 42k-cluster x 20-chain program was rejected at 26 GB padded.
-    # Chains are INDEPENDENT (each carries its own rate trajectory; pooling
-    # is across clusters within a chain), so split them into groups that
-    # keep cluster x chain under a measured-safe cap. Per-chain keys are
+    # HBM guard: the resident llg/a/b/c0 tensors scale with chains; chains
+    # are INDEPENDENT (each carries its own rate trajectory; pooling is
+    # across clusters within a chain), so split them into groups that keep
+    # the resident precompute under the budget. Per-chain keys are
     # chain0-based, so the grouping is bit-exact vs one program.
-    # Default calibrated from evidence: 77k clusters x 20 chains fit at
-    # 4096-cluster chunks (HUMAN_SCALE_r03), while 42k x 20 at 16384-cluster
-    # chunks was rejected — per-chunk temps, not the total, drove that OOM.
-    # The cap still guards pathological unit compositions.
-    c_total = sum(int(b.num_clusters) for b in buckets)
-    cap = int(os.environ.get("BT_CLUSTER_CHAINS_CAP", 2_000_000))
-    chain_step = max(1, min(opts.num_chains, cap // max(c_total, 1)))
+    budget = int(os.environ.get("BT_NOISE_BUDGET", 6 << 30))
+    chain_step = max(1, min(opts.num_chains,
+                            budget // max(per_chain_bytes, 1)))
     # pick a divisor of num_chains so every group shares one compiled shape
     while opts.num_chains % chain_step:
         chain_step -= 1
     rs_parts, tr_parts = [], []
     for c0 in range(0, opts.num_chains, chain_step):
-        rs, tr = noise_chains_multi(
-            key, tuple(buckets), tables, init_rates[c0 : c0 + chain_step],
-            (shape, scale), tuple(outcomes_list), tuple(cfgs),
+        rs, tr = noise_chains_stacked(
+            key, tuple(sbuckets), tuple(valids), tables,
+            init_rates[c0 : c0 + chain_step], (shape, scale),
+            tuple(outcomes_list), tuple(cfgs),
             num_chains=chain_step, chain0=jnp.uint32(c0),
         )
         rs_parts.append(rs)
@@ -1512,7 +1655,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     import jax.numpy as jnp
     from .model.count_model import fit_genomic_nb
     from .model.gibbs import (
-        GibbsConfig, genotype_buckets_multi, make_outcome_space,
+        make_outcome_space,
     )
     from .model.stats import FilterConfig, collect_bucket_stats
     from .ops.distributions import np_build_count_log_prob_tables
@@ -1536,39 +1679,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
 
     genomic64 = np_build_genomic_tables(nb_params.p, nb_params.size, 255)
     bucket_cache = {}
-    # merged size-class map shared by the noise phase and the waves (so both
-    # group a cluster identically and device buckets are reused between them)
-    class_map = _class_map([
-        fc for fc in unit.compiled
-        if getattr(fc, "parent_id", -1) < 0
-        and not getattr(fc, "children_ids", [])
-    ] or list(unit.compiled))
-    with _Profiler():
-        noise_rates, noise_traces = estimate_noise(
-            unit, samples, table, counts, ploidy_model, nb_params, opts,
-            ucounts=ucounts, genomic_tables=genomic64,
-            bucket_cache=bucket_cache, class_map=class_map,
-        )
-    _log_rss("noise estimation")
-    write_noise_parameters(prefix, samples, noise_traces, noise_rates)
-
-    tables = jnp.asarray(
-        np_build_count_log_prob_tables(
-            nb_params.p, nb_params.size, noise_rates, 255, genomic=genomic64,
-        )
-    )
     mesh = _get_mesh(opts)
-    # nested families run on the default device; keep an unsharded handle
-    tables_local = tables
-
-    filters = FilterConfig.from_model(
-        nb_params.mean, opts.min_genotype_posterior, opts.min_number_of_kmers,
-        opts.disable_observed_kmers,
-    )
-
-    writer = GenotypeVcfWriter(
-        out_path, genome, [s.name for s in samples], command_lines
-    )
 
     # Only containment FAMILIES need conditional parent->child sampling.
     # Clusters that merely share a multi-cluster group but have no
@@ -1584,22 +1695,53 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
         fc for fc in unit.compiled
         if getattr(fc, "parent_id", -1) < 0
         and not getattr(fc, "children_ids", [])
-    ]
+    ] or list(unit.compiled)
 
-    by_class = defaultdict(list)
-    for fc in singles:
-        by_class[class_map[fc.cluster_id]].append(fc)
-    for cls_fcs in by_class.values():
-        cls_fcs.sort(key=lambda fc: fc.cluster_id)
+    # merged size-class map + shared chunk plan: the noise phase and the
+    # genotype waves group clusters identically, so each chunk's device
+    # bucket is built and uploaded once (bucket_cache)
+    class_map = _class_map(singles)
+    plan = _plan_unit(singles, class_map, opts, samples, mesh)
+
+    with _Profiler():
+        noise_rates, noise_traces = estimate_noise(
+            unit, samples, table, counts, ploidy_model, nb_params, opts,
+            ucounts=ucounts, genomic_tables=genomic64,
+            bucket_cache=bucket_cache, class_map=class_map, plan=plan,
+        )
+    _log_rss("noise estimation")
+    write_noise_parameters(prefix, samples, noise_traces, noise_rates)
+
+    tables = jnp.asarray(
+        np_build_count_log_prob_tables(
+            nb_params.p, nb_params.size, noise_rates, 255, genomic=genomic64,
+        )
+    )
+    # nested families run on the default device; keep an unsharded handle
+    tables_local = tables
+    if mesh is not None:
+        tables = _replicate_for_mesh(tables, mesh)
+
+    filters = FilterConfig.from_model(
+        nb_params.mean, opts.min_genotype_posterior, opts.min_number_of_kmers,
+        opts.disable_observed_kmers,
+    )
+
+    writer = GenotypeVcfWriter(
+        out_path, genome, [s.name for s in samples], command_lines
+    )
 
     # bucket-occupancy census: real vs padded cells per size class (SURVEY
     # §5 observability plan — shows where padding burns device FLOPs)
     census = []
-    for (h, k, v, a), fcs in sorted(by_class.items()):
+    for (h, k, v, a) in sorted(plan):
+        pc = plan[(h, k, v, a)]
+        fcs = [fc for chunk in pc.chunks for fc in chunk]
         real = sum(len(fc.kmer_hi) * fc.hap_allele.shape[0] for fc in fcs)
         padded = len(fcs) * k * h
         census.append(
             f"H{h}/K{k}/V{v}: {len(fcs)} clusters, "
+            f"{len(pc.chunks)} chunks of {pc.c_pad}, "
             f"fill {real / max(padded, 1):.0%}"
         )
     _log("Size classes: " + "; ".join(census))
@@ -1609,99 +1751,42 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     num_genotyped = 0
     emitter = _AsyncEmitter(writer, samples, ploidy_model)
 
-    # work items: one per (size class, cluster chunk). The per-class 350-step
-    # scans are latency-bound for all but the largest class, so items are
-    # packed into WAVES under the shared HBM budget and each wave runs as ONE
-    # compiled scan (genotype_buckets_multi) stepping every bucket per
-    # iteration. Per-cluster results are invariant to the packing (subsample
-    # + Gibbs streams are keyed on cluster_id).
-    budget_bytes = 2 << 30
-    work = []
-    for (h, k, v, a), fcs in sorted(by_class.items()):
-        max_tot = _step_at_least(
-            min(
-                255,
-                2 * max(int(fc.mult.max(initial=1)) for fc in fcs)
-                + max(int(fc.inter_mult_female.max(initial=0)) for fc in fcs)
-                + max(int(fc.inter_mult_male.max(initial=0)) for fc in fcs),
-            ),
-            8, 4,
-        )
-        c_limit = _bucket_limit(opts, k, h, len(samples), max_tot,
-                                opts.num_chains, budget_bytes=budget_bytes)
-        per_cluster = budget_bytes // max(c_limit, 1)
-        # cap/inter gates are per CLASS (a packing-independent cluster set)
-        # so a cluster's streams don't depend on chunk composition
-        cfg = GibbsConfig(
-            num_chains=opts.num_chains, burn_in=opts.burn_in,
-            num_samples=opts.num_samples,
-            kmer_subsampling_rate=opts.kmer_subsampling_rate,
-            max_total_mult=max_tot,
-            max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
-            apply_cap=_needs_cap(fcs, opts.max_haplotype_variant_kmers),
-            has_inter=_any_inter(fcs),
-        )
-        for start in range(0, len(fcs), c_limit):
-            chunk = fcs[start : start + c_limit]
-            c_pad = _pad_clusters(len(chunk), mesh)
-            work.append(dict(
-                chunk=chunk, cfg=cfg, h=h, k=k, v=v, a=a, c_pad=c_pad,
-                cost=per_cluster * c_pad,
-            ))
+    from .model.gibbs import genotype_stacked
+    from .model.buckets import slice_bucket, stack_buckets, zero_bucket_like
 
-    waves = []
-    cur, cur_cost = [], 0
-    for item in work:
-        if cur and cur_cost + item["cost"] > budget_bytes:
-            waves.append(cur)
-            cur, cur_cost = [], 0
-        cur.append(item)
-        cur_cost += item["cost"]
-    if cur:
-        waves.append(cur)
-
-    # one-deep software pipeline: the device runs wave N while the host
-    # builds wave N+1 and renders wave N-1 (dispatch is async; only the
-    # device_get in the emitter synchronises)
-    pending = None
-    for wave in waves:
-        buckets, outcomes_list, cfgs = [], [], []
-        for item in wave:
-            bucket = _bucket_cached(
-                bucket_cache, item["chunk"],
-                (item["c_pad"], item["k"], item["h"], item["v"]),
-                samples, ploidy_model, ucounts, seed, store=False,
-            )
+    # per-class stacked groups: each group is ONE dispatch of one compiled
+    # scan body (genotype_stacked), chunks stacked on the leading axis and
+    # padded with inert zero chunks to a power-of-two B. Dispatch is async:
+    # the host builds group N+1's buckets and renders group N-1's rows
+    # (emitter worker) while the device runs group N.
+    for key_cls in sorted(plan):
+        pc = plan[key_cls]
+        outcomes = make_outcome_space(pc.h)
+        for group, b_pad in _stack_groups(pc.chunks, pc.per_chunk_bytes):
+            bs = [
+                _bucket_cached(
+                    bucket_cache, chunk, (pc.c_pad, pc.k, pc.h, pc.v),
+                    samples, ploidy_model, ucounts, seed, store=False,
+                )
+                for chunk in group
+            ]
+            while len(bs) < b_pad:
+                bs.append(zero_bucket_like(bs[0]))
+            sb = stack_buckets(bs)
+            del bs
             if mesh is not None:
-                bucket, tables = _shard_for_mesh(bucket, tables, mesh)
-            buckets.append(bucket)
-            outcomes_list.append(make_outcome_space(item["h"]))
-            cfgs.append(item["cfg"])
-        tallies, ws = genotype_buckets_multi(
-            key, tuple(buckets), tables, tuple(outcomes_list), tuple(cfgs)
-        )
-        stats_list = [
-            collect_bucket_stats(
-                bucket, outcomes, tally, w, filters,
-                allele_capacity=item["a"], mac_top_t=_mac_top_t(outcomes),
-            )
-            for item, bucket, outcomes, tally, w in zip(
-                wave, buckets, outcomes_list, tallies, ws
-            )
-        ]
-        if pending is not None:
-            for chunk, stats in pending:
+                sb = _shard_stacked_for_mesh(sb, mesh)
+            tallies, ws = genotype_stacked(key, sb, tables, outcomes, pc.cfg)
+            for b, chunk in enumerate(group):
+                stats = collect_bucket_stats(
+                    slice_bucket(sb, b), outcomes, tallies[b], ws[b],
+                    filters, allele_capacity=pc.a,
+                    mac_top_t=_mac_top_t(outcomes),
+                )
                 emitter.emit(chunk, stats)
                 num_genotyped += sum(len(fc.variants) for fc in chunk)
+            emitter.throttle()
             _log(f"Genotyped {num_genotyped} variants")
-        pending = [
-            (item["chunk"], stats) for item, stats in zip(wave, stats_list)
-        ]
-    if pending is not None:
-        for chunk, stats in pending:
-            emitter.emit(chunk, stats)
-            num_genotyped += sum(len(fc.variants) for fc in chunk)
-        _log(f"Genotyped {num_genotyped} variants")
 
     emitter.close()
     bucket_cache.clear()
@@ -1908,11 +1993,11 @@ def _fetch_stats(stats):
 
 
 class _AsyncEmitter:
-    """Render+write rows on a dedicated worker thread (the reference's
-    writer thread, GenotypeWriter.cpp:80-82): the device->host fetch stays
-    on the dispatch thread, the Python-heavy row rendering overlaps the
-    next bucket's device time. Emit order doesn't matter — finalise sorts
-    rows by (chrom, pos)."""
+    """Fetch+render+write rows on a dedicated worker thread (the reference's
+    writer thread, GenotypeWriter.cpp:80-82): the device->host stats fetch —
+    the tunnel-latency-bound part — AND the Python-heavy row rendering both
+    overlap the next group's dispatch/build on the main thread. Emit order
+    doesn't matter — finalise sorts rows by (chrom, pos)."""
 
     def __init__(self, writer, samples, ploidy_model):
         from concurrent.futures import ThreadPoolExecutor
@@ -1924,11 +2009,20 @@ class _AsyncEmitter:
         self.futures = []
 
     def emit(self, chunk, stats):
-        stats = _fetch_stats(stats)
         self.futures.append(self.pool.submit(
-            _emit_records_host, self.writer, chunk, stats, self.samples,
-            self.ploidy_model,
+            self._job, chunk, stats,
         ))
+
+    def _job(self, chunk, stats):
+        stats = _fetch_stats(stats)
+        _emit_records_host(self.writer, chunk, stats, self.samples,
+                           self.ploidy_model)
+
+    def throttle(self, max_pending: int = 16):
+        """Bound in-flight stats so device tallies/stats buffers don't pile
+        up in HBM ahead of the single fetch worker."""
+        while len(self.futures) > max_pending:
+            self.futures.pop(0).result()
 
     def close(self):
         for f in self.futures:
@@ -2132,8 +2226,9 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     longer inflates every cluster's padding."""
     import jax
     import jax.numpy as jnp
+    from .model.buckets import slice_bucket, stack_buckets, zero_bucket_like
     from .model.gibbs import (
-        GibbsConfig, joint_chains_multi, make_outcome_space,
+        joint_chains_stacked, make_outcome_space,
     )
     from .model.stats import FilterConfig, collect_bucket_stats
     from .ops.distributions import np_build_count_log_prob_tables
@@ -2175,54 +2270,47 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
             genomic=genomic64,
         )
     )
+    if mesh is not None:
+        tables = _replicate_for_mesh(tables, mesh)
 
     cmap = _class_map(fcs)
-    by_class = defaultdict(list)
-    for fc in fcs:
-        by_class[cmap[fc.cluster_id]].append(fc)
+    plan = _plan_unit(fcs, cmap, opts, samples, mesh)
 
-    class_fcs, buckets, outcomes_list, cfgs, caps_a = [], [], [], [], []
-    for (h, k, v, a), cls_fcs in sorted(by_class.items()):
-        c_pad = _pad_clusters(len(cls_fcs), mesh)
-        bucket = _build_bucket_batch(
-            cls_fcs, (c_pad, k, h, v), samples, ploidy_model, ucounts, seed
-        ).device_arrays()
+    class_chunks, sbuckets, outcomes_list, cfgs, caps_a = [], [], [], [], []
+    for key_cls in sorted(plan):
+        pc = plan[key_cls]
+        bs = [
+            _build_bucket_batch(
+                chunk, (pc.c_pad, pc.k, pc.h, pc.v), samples, ploidy_model,
+                ucounts, seed,
+            ).device_arrays()
+            for chunk in pc.chunks
+        ]
+        b_pad = _pow2_at_least(len(bs), 1)
+        while len(bs) < b_pad:
+            bs.append(zero_bucket_like(bs[0]))
+        sb = stack_buckets(bs)
         if mesh is not None:
-            bucket, tables = _shard_for_mesh(bucket, tables, mesh)
-        max_tot = _step_at_least(
-            min(255, 2 * max(int(fc.mult.max(initial=1)) for fc in cls_fcs)
-                + max(int(fc.inter_mult_female.max(initial=0))
-                      for fc in cls_fcs)
-                + max(int(fc.inter_mult_male.max(initial=0))
-                      for fc in cls_fcs)),
-            8, 4,
-        )
-        class_fcs.append(cls_fcs)
-        buckets.append(bucket)
-        outcomes_list.append(make_outcome_space(h))
-        cfgs.append(GibbsConfig(
-            num_chains=1, burn_in=opts.burn_in, num_samples=opts.num_samples,
-            kmer_subsampling_rate=opts.kmer_subsampling_rate,
-            max_total_mult=max_tot,
-            max_haplotype_variant_kmers=opts.max_haplotype_variant_kmers,
-            apply_cap=_needs_cap(cls_fcs, opts.max_haplotype_variant_kmers),
-            has_inter=_any_inter(cls_fcs),
-        ))
-        caps_a.append(a)
-    _log(f"Joint mode: {len(fcs)} clusters in {len(buckets)} size classes")
+            sb = _shard_stacked_for_mesh(sb, mesh)
+        class_chunks.append(pc.chunks)
+        sbuckets.append(sb)
+        outcomes_list.append(make_outcome_space(pc.h))
+        cfgs.append(pc.cfg)
+        caps_a.append(pc.a)
+    _log(f"Joint mode: {len(fcs)} clusters in {len(sbuckets)} size classes")
 
     shape, scale = opts.noise_rate_prior
     key = jax.random.PRNGKey(opts.random_seed)
-    # all chains in ONE compiled program (see noise_chains_multi); per-chain
-    # RNG streams are identical to sequential dispatch
+    # all chains + all classes + all chunks in ONE compiled program; per-
+    # chain RNG streams are identical to sequential dispatch
     k77 = jax.random.fold_in(key, 77)
     init_rates = jax.vmap(
         lambda ci: jax.random.gamma(
             jax.random.fold_in(k77, ci), shape, (len(samples),)
         )
     )(jnp.arange(opts.num_chains, dtype=jnp.uint32)) * scale  # [ch, S]
-    tallies, ws, trace = joint_chains_multi(
-        key, tuple(buckets), tables, init_rates, (shape, scale),
+    tallies, ws, trace = joint_chains_stacked(
+        key, tuple(sbuckets), tables, init_rates, (shape, scale),
         tuple(outcomes_list), tuple(cfgs), num_chains=opts.num_chains,
     )
     traces = np.concatenate(
@@ -2243,12 +2331,15 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     writer = GenotypeVcfWriter(
         out_path, genome, [s.name for s in samples], command_lines
     )
-    for bi, cls_fcs in enumerate(class_fcs):
-        stats = collect_bucket_stats(
-            buckets[bi], outcomes_list[bi], tallies[bi], ws[bi], filters,
-            allele_capacity=caps_a[bi], mac_top_t=_mac_top_t(outcomes_list[bi]),
-        )
-        _emit_records(writer, cls_fcs, stats, samples, ploidy_model)
+    for bi, chunks in enumerate(class_chunks):
+        for b, chunk in enumerate(chunks):
+            stats = collect_bucket_stats(
+                slice_bucket(sbuckets[bi], b), outcomes_list[bi],
+                tallies[bi][b], ws[bi][b], filters,
+                allele_capacity=caps_a[bi],
+                mac_top_t=_mac_top_t(outcomes_list[bi]),
+            )
+            _emit_records(writer, chunk, stats, samples, ploidy_model)
     if nested:
         frozen_tables = jnp.asarray(
             np_build_count_log_prob_tables(

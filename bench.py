@@ -21,8 +21,15 @@ Baseline: reference README "Computational requirements" row 3 — 13 samples,
 (BASELINE.md) ~= 103 variants/sec/node, counting cluster+genotype together
 exactly like the README does.
 
+The default workload is ~152k variants — past the min(N, 100k) noise-draw
+knee (InferenceEngine.cpp:135-151), so the noise phase is amortised to
+~2/3 coverage like a production unit instead of dominating a toy workload.
+The one-time simulation (a ~65 Mbp genome, 13 samples' k-mer tables) is
+cached in a manifest under /tmp; its cost is reported as `sim_s` in the
+detail block and is NOT part of the timed metric.
+
 Env knobs for smoke-testing (defaults = full benchmark):
-  BENCH_SCALE   float fraction of the workload (default 1.0)
+  BENCH_SCALE   float fraction of the workload (default 17.5 ~= 152k variants)
   BENCH_CHAINS / BENCH_BURN / BENCH_SAMPLES   Gibbs overrides
 """
 
@@ -38,7 +45,7 @@ BASELINE_VARIANTS_PER_SEC = 103.0  # 11.7M alleles / (31.5 h * 3600 s)
 K = 55
 NUM_SAMPLES = 13
 COVERAGE = 50.0
-SCALE = float(os.environ.get("BENCH_SCALE", "1.0"))
+SCALE = float(os.environ.get("BENCH_SCALE", "17.5"))
 
 # workload mix: (kind, count) — counts are clusters, not variants
 MIX = [
@@ -139,12 +146,18 @@ def _simulate(tmp, rng):
         for pos, ref, alt in variants:
             fh.write(f"chr1\t{pos + 1}\t.\t{ref}\t{alt}\t.\t.\t.\n")
 
-    truth = []
-    samples = []
     mean, var = COVERAGE, 2.0 * COVERAGE
-    for si in range(NUM_SAMPLES):
-        gts = [tuple(sorted(rng.integers(0, 2, 2))) for _ in variants]
-        truth.append(gts)
+    truth = [
+        [tuple(sorted(rng.integers(0, 2, 2))) for _ in variants]
+        for _ in range(NUM_SAMPLES)
+    ]
+    sample_seeds = rng.integers(0, 2**63, NUM_SAMPLES)
+
+    def _one_sample(si):
+        # native k-mer counting + numpy NB draws release the GIL, so the
+        # thread pool gets real overlap on this 2-core host
+        srng = np.random.default_rng(int(sample_seeds[si]))
+        gts = truth[si]
         h1 = apply_haplotype(seq, variants, [g[0] for g in gts])
         h2 = apply_haplotype(seq, variants, [g[1] for g in gts])
         hi, lo, mult = count_kmers_from_sequences(
@@ -152,12 +165,17 @@ def _simulate(tmp, rng):
         )
         m = mult.astype(np.float64)
         mm, vv = mean * m, var * m
-        counts = rng.negative_binomial(mm * mm / (vv - mm), mm / vv)
+        counts = srng.negative_binomial(mm * mm / (vv - mm), mm / vv)
         keep = counts > 0
         prefix = os.path.join(tmp, f"sample{si}")
         write_kmc1(prefix, hi[keep], lo[keep],
                    np.minimum(counts[keep], 2**31 - 1), kmer_length=K)
-        samples.append(Sample(f"s{si:02d}", GENDER_FEMALE, prefix))
+        return Sample(f"s{si:02d}", GENDER_FEMALE, prefix)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        samples = list(pool.map(_one_sample, range(NUM_SAMPLES)))
     return genome, vcf_path, variants, truth, samples, cluster_sizes
 
 
@@ -244,8 +262,10 @@ def main():
 
     # ---- warm-up: compile every size-class program (subsequent runs hit the
     # persistent XLA cache; axon remote-compile variance note in STATUS.md)
+    t0 = time.perf_counter()
     genotype_unit(unit, samples, genome, ploidy,
                   os.path.join(tmp, "warmup.vcf"), opts)
+    t_warmup = time.perf_counter() - t0
 
     # ---- genotype phase (timed, best of N) ----
     out_path = os.path.join(tmp, "genotypes.vcf")
@@ -302,6 +322,8 @@ def main():
             ),
             "call_rate": round(call_rate, 4),
             "concordance": round(concordance, 4),
+            "sim_s": round(t_sim, 1),
+            "warmup_s": round(t_warmup, 1),
             "baseline": "README row 3: 11.7M alleles / 31.5h / 28-thread node",
         },
     }))
