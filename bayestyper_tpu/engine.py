@@ -439,10 +439,40 @@ def _run_cluster_phase_impl(
             ex_multi_all = (occ > 1)[midx_all]
             member_flags = np.zeros(len(u_hi), dtype=bool)
             member_flags[midx_all[member_any_all]] = True
+        # split multi-occurrence rows by GROUP: rows spanning >1 cluster
+        # group are multigroup (excluded, countPathMultigroupKmers
+        # KmerCounter.cpp:105-169); rows shared between clusters of ONE
+        # group are the reference's multicluster kmers — KEPT and coupled
+        # through shared multiplicity state in the Gibbs program
+        # (KmerCounts.cpp:178-223, VariantClusterHaplotypes.cpp:197-233)
+        grp_keys = {}
+        grp_of_cluster = np.empty(len(compiled), np.int64)
+        for i, c in enumerate(compiled):
+            gk = (c.chrom, c.group_id)
+            grp_of_cluster[i] = grp_keys.setdefault(gk, len(grp_keys))
+        grp_of_entry = np.repeat(grp_of_cluster, lens)
+        n_rows = len(u_hi)
+        row_gmin = np.full(n_rows, np.iinfo(np.int64).max)
+        row_gmax = np.full(n_rows, -1, np.int64)
+        np.minimum.at(row_gmin, midx_all, grp_of_entry)
+        np.maximum.at(row_gmax, midx_all, grp_of_entry)
+        row_multi_group = row_gmin != row_gmax
+        ex_across_all = ex_multi_all & row_multi_group[midx_all]
+        shared_entry = ex_multi_all & ~row_multi_group[midx_all]
+
         multi_rows = np.unique(midx_all[ex_multi_all])
+        across_rows = multi_rows[row_multi_group[multi_rows]]
+        # the reference's multigroup artifact holds only ACROSS-group kmers
         multigroup = LaneTable.from_unsorted_unique(
-            u_hi[multi_rows], u_lo[multi_rows]
+            u_hi[across_rows], u_lo[across_rows]
         )
+        # within-group shared rows get dense shared-pool slot ids
+        pool_rows = multi_rows[~row_multi_group[multi_rows]]
+        shared_slot_all = np.full(len(midx_all), -1, np.int32)
+        if len(pool_rows):
+            shared_slot_all[shared_entry] = np.searchsorted(
+                pool_rows, midx_all[shared_entry]
+            ).astype(np.int32)
         # all-path union rows are exactly (u_hi, u_lo), already sorted —
         # build the table without re-sorting
         all_path_union = LaneTable.__new__(LaneTable)
@@ -567,10 +597,17 @@ def _run_cluster_phase_impl(
             else c.mult.max(axis=1, initial=0)
             for c in compiled
         ])
-        total_mult_all = occ_count[midx_all] + mult_max_all.astype(np.int64)
+        # has_max_multiplicity is a GLOBAL per-kmer flag in the reference
+        # (KmerCounts.cpp:153-171 accumulates the max haploid multiplicity
+        # across every cluster occurrence + intercluster copies): for rows
+        # occurring in several clusters, sum the per-entry path maxima so a
+        # shared kmer is excluded everywhere or nowhere
+        row_mult_sum = np.zeros(len(u_hi), np.int64)
+        np.add.at(row_mult_sum, midx_all, mult_max_all.astype(np.int64))
+        total_mult_all = occ_count[midx_all] + row_mult_sum[midx_all]
         keep_all = (
             member_any_all
-            & ~ex_multi_all
+            & ~ex_across_all
             & ~decoy_hit[midx_all]
             & (total_mult_all <= MAX_HAPLOID_MULTIPLICITY)
         )
@@ -596,12 +633,14 @@ def _run_cluster_phase_impl(
             mult, member = c.mult, c.member
             inter_f_c = inter_f_u8[sl]
             inter_m_c = inter_m_u8[sl]
+            shared_c = shared_slot_all[sl]
             num_excluded = 0
         else:
             kmer_hi, kmer_lo = c.kmer_hi[keep], c.kmer_lo[keep]
             mult, member = c.mult[keep], c.member[keep]
             inter_f_c = inter_f_u8[sl][keep]
             inter_m_c = inter_m_u8[sl][keep]
+            shared_c = shared_slot_all[sl][keep]
             num_excluded = int((member_any_all[sl] & ~keep).sum())
         final.append(
             FinalizedCluster(
@@ -615,6 +654,7 @@ def _run_cluster_phase_impl(
                 member=member,
                 inter_mult_female=inter_f_c,
                 inter_mult_male=inter_m_c,
+                shared_slot=shared_c if (shared_c >= 0).any() else None,
                 non_covered_alleles=c.non_covered_alleles,
                 num_excluded=num_excluded,
                 group_id=c.group_id,
@@ -655,6 +695,12 @@ class FinalizedCluster:
     inter_mult_male: np.ndarray
     non_covered_alleles: list
     num_excluded: int
+    # within-group shared (multicluster) kmers: [K] int32 global pool slot,
+    # -1 for private kmers; None when the cluster has none. Clusters with
+    # shared kmers are genotyped in the coupled program where each shared
+    # kmer's multiplicity includes every sibling cluster's current sampled
+    # contribution (KmerCounts.cpp:178-223 semantics).
+    shared_slot: np.ndarray | None = None
     # group / containment structure (VariantClusterGroup)
     group_id: int = -1
     group_size: int = 1
@@ -1003,7 +1049,9 @@ def _plan_unit(singles, class_map, opts, samples, mesh):
 # resident HBM budget for one stacked genotype group (scan state + stacked
 # bucket tensors); the precompute transients on top are bounded per chunk
 # by _bucket_limit's own budget
-_STACK_BUDGET_BYTES = int(os.environ.get("BT_STACK_BUDGET", 2 << 30))
+# two stacked groups are in flight at once (deliberate pipelining), so
+# the per-group budget is half the intended HBM share
+_STACK_BUDGET_BYTES = int(os.environ.get("BT_STACK_BUDGET", 3 << 29))
 
 
 def _stack_groups(chunks, per_chunk_bytes):
@@ -1463,9 +1511,7 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     if ucounts is None:
         ucounts = _UnitCounts(unit, table, counts)
     singles = [
-        fc for fc in unit.compiled
-        if getattr(fc, "parent_id", -1) < 0
-        and not getattr(fc, "children_ids", [])
+        fc for fc in unit.compiled if not _is_coupled(fc)
     ] or list(unit.compiled)[:1]
     if class_map is None:
         class_map = _class_map(singles)
@@ -1497,9 +1543,14 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
         num_vars += nv
     fallback_first_chunk = not selected
     if fallback_first_chunk:
-        # no single-cluster groups at all: fall back to the first chunk with
+        # no single-cluster groups at all: fall back to one chunk with
         # every real cluster contributing (the prior behaviour for units of
         # only multi-cluster groups)
+        if not plan:
+            plan = _plan_unit(
+                list(unit.compiled)[:1], _class_map(list(unit.compiled)[:1]),
+                opts, samples, mesh,
+            )
         key_cls = sorted(plan)[0]
         selected[key_cls] = [0]
 
@@ -1561,12 +1612,15 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     # across clusters within a chain), so split them into groups that keep
     # the resident precompute under the budget. Per-chain keys are
     # chain0-based, so the grouping is bit-exact vs one program.
-    budget = int(os.environ.get("BT_NOISE_BUDGET", 6 << 30))
+    budget = int(os.environ.get("BT_NOISE_BUDGET", 4 << 30))
     chain_step = max(1, min(opts.num_chains,
                             budget // max(per_chain_bytes, 1)))
     # pick a divisor of num_chains so every group shares one compiled shape
     while opts.num_chains % chain_step:
         chain_step -= 1
+    if chain_step < opts.num_chains:
+        _log(f"Noise chains split into groups of {chain_step} "
+             f"({per_chain_bytes >> 20} MB resident per chain)")
     rs_parts, tr_parts = [], []
     for c0 in range(0, opts.num_chains, chain_step):
         rs, tr = noise_chains_stacked(
@@ -1575,13 +1629,14 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
             tuple(outcomes_list), tuple(cfgs),
             num_chains=chain_step, chain0=jnp.uint32(c0),
         )
-        rs_parts.append(rs)
-        tr_parts.append(tr)
-    rate_sums = jnp.concatenate(rs_parts, axis=0)
-    chain_traces = jnp.concatenate(tr_parts, axis=0)
-    rate_sums, chain_traces, inits = jax.device_get(
-        (rate_sums, chain_traces, init_rates)
-    )
+        # fetch per group: dispatching the next group while this one runs
+        # would hold BOTH groups' resident precompute in HBM at once (the
+        # whole point of the split is bounding that residency)
+        rs_parts.append(jax.device_get(rs))
+        tr_parts.append(jax.device_get(tr))
+    rate_sums = np.concatenate(rs_parts, axis=0)
+    chain_traces = np.concatenate(tr_parts, axis=0)
+    inits = jax.device_get(init_rates)
     rate_sum = rate_sums.sum(axis=0)
     # traces include the initial rates as iteration 0 (noise dump format,
     # InferenceEngine.cpp:205)
@@ -1589,6 +1644,17 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     mean_rates = rate_sum / (opts.num_samples * opts.num_chains)
     _log(f"Estimated noise rates: {mean_rates}")
     return mean_rates, traces
+
+
+def _is_coupled(fc) -> bool:
+    """Clusters needing the coupled Gibbs program: containment parents/
+    children (conditional ploidy demotion) or holders of within-group
+    shared multicluster k-mers (pool-coupled multiplicities)."""
+    return (
+        getattr(fc, "parent_id", -1) >= 0
+        or bool(getattr(fc, "children_ids", []))
+        or getattr(fc, "shared_slot", None) is not None
+    )
 
 
 def _is_single_cluster_group(fc) -> bool:
@@ -1681,21 +1747,13 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     bucket_cache = {}
     mesh = _get_mesh(opts)
 
-    # Only containment FAMILIES need conditional parent->child sampling.
-    # Clusters that merely share a multi-cluster group but have no
-    # containment links are independent (group-shared k-mers are excluded,
-    # PARITY "Nested clusters" note) and run through the standard per-class
-    # path — routing them through the nested program would pad every one of
-    # them into a single giant bucket.
-    nested = [
-        fc for fc in unit.compiled
-        if getattr(fc, "parent_id", -1) >= 0 or getattr(fc, "children_ids", [])
-    ]
-    singles = [
-        fc for fc in unit.compiled
-        if getattr(fc, "parent_id", -1) < 0
-        and not getattr(fc, "children_ids", [])
-    ] or list(unit.compiled)
+    # COUPLED clusters (containment families and groups sharing
+    # multicluster k-mers) need per-iteration conditioning on their group
+    # siblings and run through the coupled program; group members with
+    # neither containment nor shared k-mers are independent and stay on the
+    # fast stacked path.
+    nested = [fc for fc in unit.compiled if _is_coupled(fc)]
+    singles = [fc for fc in unit.compiled if not _is_coupled(fc)]
 
     # merged size-class map + shared chunk plan: the noise phase and the
     # genotype waves group clusters identically, so each chunk's device
@@ -1810,10 +1868,15 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
 
 def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
                          tables, filters, writer, opts, rng, key):
-    """Genotype nested cluster-group families: clusters laid out by
-    containment depth, children sampled conditionally on their parent's
-    outcome with ploidy demotion (genotype_nested; the reference's
-    VariantClusterGroup::runGibbsSample DAG recursion)."""
+    """Genotype COUPLED cluster groups: containment families (children
+    sampled conditionally on their parent's outcome with ploidy demotion)
+    and groups sharing multicluster k-mers (scored against every sibling's
+    current contribution through the shared pool). Clusters are laid out by
+    RANK within their group — (containment depth, id) order — so each level
+    samples conditioned on all lower-ranked group members
+    (gibbs.genotype_nested; the reference's
+    VariantClusterGroup::runGibbsSample recursion + the KmerCounts.cpp
+    shared-multiplicity propagation)."""
     seed = opts.random_seed
     import jax.numpy as jnp
     from .model.gibbs import (
@@ -1821,15 +1884,41 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
     )
     from .model.stats import collect_bucket_stats
 
-    max_depth = max(fc.depth for fc in nested)
+    by_group = defaultdict(list)
+    for fc in nested:
+        by_group[(fc.chrom, fc.group_id)].append(fc)
+    rank_of = {}
+    for grp in by_group.values():
+        grp.sort(key=lambda fc: (fc.depth, fc.cluster_id))
+        for r, fc in enumerate(grp):
+            rank_of[fc.cluster_id] = r
+    max_rank = max(rank_of.values())
     levels = [
-        [fc for fc in nested if fc.depth == l] for l in range(max_depth + 1)
+        sorted(
+            (fc for fc in nested if rank_of[fc.cluster_id] == l),
+            key=lambda fc: fc.cluster_id,
+        )
+        for l in range(max_rank + 1)
     ]
-    assert all(levels), "nested set missing a containment level"
+    assert all(levels), "coupled set missing a rank level"
     by_id = {fc.cluster_id: fc for fc in nested}
+    row_of = {
+        fc.cluster_id: (l, i)
+        for l, fcs in enumerate(levels)
+        for i, fc in enumerate(fcs)
+    }
 
-    buckets, outcomes_list, cfgs, caps_a = [], [], [], []
-    h_pads = []
+    # shared-pool slot remap: global slot ids -> dense [0, P)
+    used_slots = sorted({
+        int(x)
+        for fc in nested
+        if getattr(fc, "shared_slot", None) is not None
+        for x in fc.shared_slot[fc.shared_slot >= 0]
+    })
+    slot_remap = {g: i for i, g in enumerate(used_slots)}
+    num_pool = len(used_slots)
+
+    buckets, outcomes_list, cfgs, caps_a, h_pads = [], [], [], [], []
     for fcs in levels:
         h = max(_pow2_at_least(fc.hap_allele.shape[0], 2) for fc in fcs)
         k = max(_step_at_least(max(len(fc.kmer_hi), 1), 128, 2) for fc in fcs)
@@ -1866,79 +1955,113 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
         caps_a.append(a)
         h_pads.append(h)
 
-    parent_rows = [jnp.zeros(buckets[0].num_clusters, jnp.int32)]
-    retain_tables = [
-        jnp.zeros((buckets[0].num_clusters, outcomes_list[0].num_outcomes),
-                  jnp.int8)
-    ]
-    for l in range(1, len(levels)):
-        prev_rows = {fc.cluster_id: i for i, fc in enumerate(levels[l - 1])}
-        o_prev = outcomes_list[l - 1]
-        h_prev = h_pads[l - 1]
+    o_pad = max(o.num_outcomes for o in outcomes_list)
+    parent_levels, parent_rows, retain_tables, shared_infos = [], [], [], []
+    for l, fcs in enumerate(levels):
         c_pad = buckets[l].num_clusters
-        rows = np.zeros(c_pad, np.int32)
-        rt = np.zeros((c_pad, o_prev.num_outcomes), np.int8)
-        for i, fc in enumerate(levels[l]):
+        k_pad = buckets[l].num_kmers
+        plv = np.full(c_pad, -1, np.int32)
+        prw = np.zeros(c_pad, np.int32)
+        rt = np.zeros((c_pad, o_pad), np.int8)
+        for i, fc in enumerate(fcs):
+            if fc.parent_id < 0:
+                continue
             parent = by_id[fc.parent_id]
-            rows[i] = prev_rows[fc.parent_id]
+            pl, prow = row_of[fc.parent_id]
+            plv[i] = pl
+            prw[i] = prow
             col = parent.children_ids.index(fc.cluster_id)
-            r_ext = np.zeros(h_prev + 1, bool)  # sentinel slot stays False
+            o_prev = outcomes_list[pl]
+            r_ext = np.zeros(h_pads[pl] + 1, bool)  # sentinel stays False
             r_ext[: parent.retains.shape[0]] = parent.retains[:, col]
-            rt[i] = (
+            rt[i, : o_prev.num_outcomes] = (
                 r_ext[o_prev.oa].astype(np.int8)
                 + r_ext[o_prev.ob].astype(np.int8)
             )
-        parent_rows.append(jnp.asarray(rows))
+        parent_levels.append(jnp.asarray(plv))
+        parent_rows.append(jnp.asarray(prw))
         retain_tables.append(jnp.asarray(rt))
 
+        qs = [
+            np.flatnonzero(fc.shared_slot >= 0)
+            if getattr(fc, "shared_slot", None) is not None
+            else np.zeros(0, np.int64)
+            for fc in fcs
+        ]
+        q_max = max((len(q) for q in qs), default=0)
+        if q_max == 0:
+            shared_infos.append(None)
+            continue
+        q_cap = _pow2_at_least(q_max, 1)
+        sh_idx = np.zeros((c_pad, q_cap), np.int32)
+        sh_slot = np.zeros((c_pad, q_cap), np.int32)
+        sh_valid = np.zeros((c_pad, q_cap), bool)
+        sh_mask = np.zeros((c_pad, k_pad), bool)
+        for i, (fc, q) in enumerate(zip(fcs, qs)):
+            if not len(q):
+                continue
+            sh_idx[i, : len(q)] = q
+            sh_slot[i, : len(q)] = [
+                slot_remap[int(fc.shared_slot[j])] for j in q
+            ]
+            sh_valid[i, : len(q)] = True
+            sh_mask[i, q] = True
+        shared_infos.append(dict(
+            sh_idx=jnp.asarray(sh_idx), sh_slot=jnp.asarray(sh_slot),
+            sh_valid=jnp.asarray(sh_valid), sh_mask=jnp.asarray(sh_mask),
+        ))
+
     tallies, ws = genotype_nested(
-        key, tuple(buckets), tuple(parent_rows), tuple(retain_tables),
-        tables, tuple(outcomes_list), tuple(cfgs),
+        key, tuple(buckets), tuple(parent_levels), tuple(parent_rows),
+        tuple(retain_tables), tuple(shared_infos), tables,
+        tuple(outcomes_list), tuple(cfgs), num_pool=num_pool,
     )
 
     num = 0
-    prev_stats = None
-    prev_fcs = None
+    stats_by_level = []
     for l, fcs in enumerate(levels):
-        missing_stats = None
-        if l > 0:
-            missing_stats = _nested_missing_stats(
-                fcs, prev_fcs, prev_stats, by_id, buckets[l].num_clusters,
-                len(samples),
-            )
+        missing_stats = _nested_missing_stats(
+            fcs, stats_by_level, row_of, by_id, buckets[l].num_clusters,
+            len(samples),
+        )
         stats = collect_bucket_stats(
             buckets[l], outcomes_list[l], tallies[l], ws[l], filters,
             allele_capacity=caps_a[l], mac_top_t=_mac_top_t(outcomes_list[l]),
             missing_stats=missing_stats,
         )
         stats = _fetch_stats(stats)
+        stats_by_level.append(stats)
         _emit_records(writer, fcs, stats, samples, ploidy_model)
         num += sum(len(fc.variants) for fc in fcs)
-        prev_stats, prev_fcs = stats, fcs
     return num
 
 
-def _nested_missing_stats(fcs, parent_fcs, parent_stats, by_id, c_pad,
+def _nested_missing_stats(fcs, stats_by_level, row_of, by_id, c_pad,
                           num_samples):
     """Per-(child cluster, sample) NAK/FAK/MAC handed down from the parent's
     demoting allele (the allele on non-retaining haplotypes at the parent
     variant spanning the child; addNestedKmerStats,
     VariantClusterGenotyper.cpp:154-180). The allele is chosen per sample as
-    the non-retaining allele with the highest parent APP."""
+    the non-retaining allele with the highest parent APP. Returns None when
+    no cluster at this level has a containment parent."""
     import jax.numpy as jnp
 
-    prev_rows = {fc.cluster_id: i for i, fc in enumerate(parent_fcs)}
+    if not any(fc.parent_id >= 0 for fc in fcs):
+        return None
     nak_m = np.zeros((c_pad, num_samples), np.float32)
     fak_m = np.full((c_pad, num_samples), -1.0, np.float32)
     mac_m = np.full((c_pad, num_samples), -1.0, np.float32)
-    p_nak = np.asarray(parent_stats.nak)   # [Cp, S, Vp, A]
-    p_fak = np.asarray(parent_stats.fak)
-    p_mac = np.asarray(parent_stats.mac)
-    p_app = np.asarray(parent_stats.app)
 
     for i, fc in enumerate(fcs):
+        if fc.parent_id < 0:
+            continue
         parent = by_id[fc.parent_id]
-        prow = prev_rows[fc.parent_id]
+        plevel, prow = row_of[fc.parent_id]
+        parent_stats = stats_by_level[plevel]
+        p_nak = np.asarray(parent_stats.nak)   # [Cp, S, Vp, A]
+        p_fak = np.asarray(parent_stats.fak)
+        p_mac = np.asarray(parent_stats.mac)
+        p_app = np.asarray(parent_stats.app)
         col = parent.children_ids.index(fc.cluster_id)
         child_start = min(v.pos for v in fc.variants)
         child_end = max(v.end for v in fc.variants)
@@ -2247,15 +2370,8 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     # genotyped after the joint phase with the joint-estimated noise frozen
     # (the per-iteration noise feedback of rare nested groups is negligible;
     # PARITY.md "Nested clusters")
-    fcs = [
-        fc for fc in unit.compiled
-        if getattr(fc, "parent_id", -1) < 0
-        and not getattr(fc, "children_ids", [])
-    ]
-    nested = [
-        fc for fc in unit.compiled
-        if getattr(fc, "parent_id", -1) >= 0 or getattr(fc, "children_ids", [])
-    ]
+    fcs = [fc for fc in unit.compiled if not _is_coupled(fc)]
+    nested = [fc for fc in unit.compiled if _is_coupled(fc)]
     if not fcs:
         fcs = list(unit.compiled)
         nested = []

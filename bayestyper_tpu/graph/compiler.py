@@ -22,8 +22,9 @@ instead of serialized C++ object graphs:
 
 Variants overlapping a consumed span on a path get the cluster's missing
 allele when they carry one (`*`), else the path is constrained to their
-reference allele — the flattened stand-in for the reference's nested-cluster
-machinery (TODO(nested)).
+reference allele. Nested containment proper (parent/child clusters with
+retain tables and conditional ploidy demotion) is handled by the
+`child_spans` argument here plus `gibbs.genotype_nested` downstream.
 """
 
 from __future__ import annotations

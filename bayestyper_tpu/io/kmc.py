@@ -227,8 +227,14 @@ def write_kmc1(prefix_path: str, hi, lo, counts, kmer_length: int,
     hi = np.asarray(hi, np.uint64)
     lo = np.asarray(lo, np.uint64)
     counts = np.asarray(counts, np.uint64)
-    order = np.lexsort((lo, hi))
-    hi, lo, counts = hi[order], lo[order], counts[order]
+    # callers usually pass (hi, lo) already in canonical order (the output
+    # of count_kmers_from_sequences is sorted); skip the 2-key lexsort then
+    already = len(hi) < 2 or bool(np.all(
+        (hi[1:] > hi[:-1]) | ((hi[1:] == hi[:-1]) & (lo[1:] >= lo[:-1]))
+    ))
+    if not already:
+        order = np.lexsort((lo, hi))
+        hi, lo, counts = hi[order], lo[order], counts[order]
     n = len(hi)
 
     n_hi = min(27, k)

@@ -325,13 +325,20 @@ def compute_log_likelihoods(
             idx = jnp.minimum(
                 dip_mult[:, :, None, :] + inter_ks[:, :, :, None], mmax
             )  # [C, K, S, O]
-            # qt[c,k,s,o] = p[c,k,s,idx]
-            qt = jnp.einsum(
-                "cksm,cksom->ckso",
-                p,
-                jax.nn.one_hot(idx, mmax + 1, dtype=jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            # qt[c,k,s,o] = p[c,k,s,idx] — masked accumulate over the M
+            # multiplicity rows instead of a one-hot contraction: the
+            # [C,K,S,O,M] one-hot operand was the single largest transient
+            # of the bulk classes (7+ GB at C=4096) and capped the chunk
+            # size. Exactly one m matches per element and adding exact
+            # zeros preserves f32 bits, so the result is bit-identical.
+            def _gather_m(m, acc):
+                pm = jax.lax.dynamic_index_in_dim(
+                    p, m, axis=3, keepdims=False
+                )  # [C, K, S]
+                return acc + jnp.where(idx == m, pm[:, :, :, None], 0.0)
+
+            qt = jax.lax.fori_loop(
+                0, mmax + 1, _gather_m, jnp.zeros(idx.shape, jnp.float32)
             )
         else:
             idx = jnp.minimum(dip_mult, mmax)  # [C, K, O]
@@ -912,28 +919,52 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
     return rate_sum, trace
 
 
-@functools.partial(jax.jit, static_argnames=("outcomes_list", "cfgs"))
-def genotype_nested(base_key, buckets, parent_rows, retain_tables, tables,
-                    outcomes_list, cfgs):
-    """Frozen-noise genotyping of nested cluster-group families.
+@functools.partial(
+    jax.jit, static_argnames=("outcomes_list", "cfgs", "num_pool")
+)
+def genotype_nested(base_key, buckets, parent_levels, parent_rows,
+                    retain_tables, shared_infos, tables, outcomes_list, cfgs,
+                    num_pool=0):
+    """Frozen-noise genotyping of COUPLED cluster groups: nested containment
+    families and/or groups sharing multicluster k-mers.
 
-    TPU reformulation of the reference's per-iteration source->nested DAG
-    recursion with ploidy demotion (VariantClusterGroup::runGibbsSample,
-    VariantClusterGroup.cpp:236-250 + updateNestedVariantClusterInfo,
-    VariantClusterGenotyper.cpp:183-206): clusters are laid out by
-    containment DEPTH. Each Gibbs iteration runs level 0 (roots) under
-    chromosome ploidy, then each deeper level under a per-(cluster, chain,
-    sample) ploidy GATHERED from its parent's just-sampled outcome — the
-    retain table counts how many haplotype copies of that parent outcome
-    keep the child region intact (a deletion spanning the child demotes it
-    one level per copy).
+    TPU reformulation of the reference's per-iteration group recursion
+    (VariantClusterGroup::runGibbsSample, VariantClusterGroup.cpp:236-250):
+    clusters are laid out in LEVELS — rank within their group ordered by
+    (containment depth, id) — and each Gibbs iteration runs the levels
+    sequentially, so every cluster samples conditioned on the CURRENT
+    outcomes of lower-ranked group members:
+
+      * ploidy demotion: a cluster with a containment parent draws its
+        per-(cluster, chain, sample) ploidy from the parent's just-sampled
+        outcome via its retain table (updateNestedVariantClusterInfo,
+        VariantClusterGenotyper.cpp:183-206).
+      * shared multicluster k-mers: a k-mer occurring in several clusters
+        of one group is scored at own diplotype multiplicity + the summed
+        CURRENT contributions of every sibling (pool minus own), matching
+        getMulticlusterKmerMultiplicity
+        (VariantClusterHaplotypes.cpp:76-93) including its count==0 branch
+        (zero-count k-mers ignore the pool). The pool state is updated with
+        each cluster's (new - old) contribution after it samples
+        (updateMulticlusterKmerMultiplicities, :197-233). The reference
+        shuffles sibling order per iteration (shuffleBranchOrdering,
+        VariantClusterGroup.cpp:208-218); the fixed rank order used here is
+        an equally valid systematic-scan Gibbs sampler over the same joint
+        posterior (tested against the coupled oracle,
+        tests/test_coupling_adversarial.py).
 
     Args:
-      buckets: tuple of ClusterBucket, one per depth level (level 0 first).
-      parent_rows: tuple; parent_rows[l] int32 [C_l] = row of each level-l
-        cluster's parent within the level l-1 bucket (entry 0 unused).
-      retain_tables: tuple; retain_tables[l] int8 [C_l, O_{l-1}] = demoted
-        ploidy of cluster c when its parent sampled outcome o.
+      buckets: tuple of ClusterBucket, one per level (level 0 first).
+      parent_levels / parent_rows: tuples; [C_l] int32 (level, row) of each
+        cluster's containment parent, level -1 = none (chromosome ploidy).
+      retain_tables: tuple; [C_l, O_pad] int8 = demoted ploidy of cluster c
+        when its parent sampled outcome o (padded to the max outcome count
+        across levels; unused for parentless clusters).
+      shared_infos: tuple; None for levels without shared k-mers, else a
+        dict of numpy arrays: sh_idx [C_l, Q] int32 (k-mer slot, 0-padded),
+        sh_slot [C_l, Q] int32 (pool slot, 0-padded), sh_valid [C_l, Q]
+        bool, sh_mask [C_l, K] bool (True at shared k-mer slots).
+      num_pool: static total shared-pool slots (0 = no coupling anywhere).
       tables: [S, M+1, 256] frozen-noise log-pmf tables.
     Returns:
       (tallies, ws): tuples per level — tally [C, chains, S, O_l] int32 and
@@ -943,6 +974,9 @@ def genotype_nested(base_key, buckets, parent_rows, retain_tables, tables,
     cfg0 = cfgs[0]
     num_iters = cfg0.burn_in + cfg0.num_samples
     num_chains = cfg0.num_chains
+    s = buckets[0].num_samples
+    c_max = max(b.num_clusters for b in buckets)
+    o_pad = max(o.num_outcomes for o in outcomes_list)
 
     precomp = []
     for l in range(num_levels):
@@ -950,46 +984,127 @@ def genotype_nested(base_key, buckets, parent_rows, retain_tables, tables,
         kb = jax.random.fold_in(base_key, jnp.uint32(l))
         k_sub, k_chain = jax.random.split(kb)
         w = _subsample_with_cap(k_sub, bucket, num_chains, cfg)
+        sh = shared_infos[l]
+        if sh is None:
+            w_base = w
+        else:
+            # shared k-mers leave the static LL (their multiplicity depends
+            # on sibling state) and are scored per iteration below
+            w_base = w & ~jnp.asarray(sh["sh_mask"])[:, None, :]
         ll = compute_log_likelihoods(
-            bucket, outcomes, tables, w, cfg.max_total_mult,
+            bucket, outcomes, tables, w_base, cfg.max_total_mult,
             include_noise_row=True, has_inter=cfg.has_inter,
         )
-        osp = (
-            jnp.asarray(outcomes.oa),
-            jnp.asarray(outcomes.ob),
-            jnp.asarray(outcomes.het_bonus),
-            jnp.asarray(outcomes.ploidy_mask),
+        pre = dict(
+            w=w, ll=ll, osp=_osp_arrays(outcomes),
+            chain_keys=_chain_keys(k_chain, bucket.cluster_id, num_chains),
+            freqs0=_freqs0(bucket, num_chains),
         )
-        chain_keys = _chain_keys(k_chain, bucket.cluster_id, num_chains)
-        hv = bucket.hap_valid
-        nh = jnp.sum(hv, axis=1, keepdims=True).astype(jnp.float32)
-        freqs0 = jnp.broadcast_to(
-            jnp.where(hv, 1.0 / jnp.maximum(nh, 1.0), 0.0)[:, None, :],
-            (bucket.num_clusters, num_chains, bucket.num_haplotypes),
-        )
-        precomp.append(dict(w=w, ll=ll, osp=osp, chain_keys=chain_keys,
-                            freqs0=freqs0))
+        if sh is not None:
+            mmax = min(cfg.max_total_mult, tables.shape[1] - 1)
+            sh_idx = jnp.asarray(sh["sh_idx"])            # [C, Q]
+            counts_sh = jnp.take_along_axis(
+                bucket.counts, sh_idx[:, :, None], axis=1
+            ).astype(jnp.int32)                           # [C, Q, S]
+            inter_sh = jnp.take_along_axis(
+                bucket.inter_mult, sh_idx[:, :, None], axis=1
+            ).astype(jnp.int32)
+            mult_sh = jnp.take_along_axis(
+                bucket.mult, sh_idx[:, :, None], axis=1
+            ).astype(jnp.int32)                           # [C, Q, H]
+            me = jnp.concatenate(
+                [mult_sh, jnp.zeros_like(mult_sh[:, :, :1])], axis=2
+            )
+            oa = jnp.asarray(outcomes.oa)
+            ob = jnp.asarray(outcomes.ob)
+            dip_sh = me[:, :, oa] + me[:, :, ob]          # [C, Q, O]
+            w_sh = jnp.take_along_axis(
+                w, sh_idx[:, None, :], axis=2
+            ) & jnp.asarray(sh["sh_valid"])[:, None, :]   # [C, ch, Q]
+            # Tcut[c,q,s,m] = tables[s, m, counts_sh[c,q,s]]
+            tcut = jnp.einsum(
+                "cqsx,smx->cqsm",
+                jax.nn.one_hot(counts_sh, 256, dtype=jnp.bfloat16),
+                tables[:, : mmax + 1, :].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                             # [C, Q, S, M]
+            pre["sh"] = dict(
+                slot=jnp.asarray(sh["sh_slot"]),
+                valid=jnp.asarray(sh["sh_valid"]),
+                counts=counts_sh, inter=inter_sh, dip=dip_sh,
+                w_sh=w_sh, tcut=tcut, mmax=mmax,
+            )
+        precomp.append(pre)
 
     def step(carry, t):
-        freqs_list, tally_list = carry
+        freqs_list, tally_list, o_stack, pool = carry
+        # o_stack: [L, c_max, ch, S] current outcome per level (levels not
+        # yet sampled this iteration still hold the previous iteration's);
+        # pool: [P, ch, S] total shared-kmer contributions at those outcomes
         new_freqs_list, new_tally_list = [], []
-        o_prev = None
         for l in range(num_levels):
             bucket = buckets[l]
             pre = precomp[l]
             c = bucket.num_clusters
-            s = bucket.num_samples
             o = outcomes_list[l].num_outcomes
 
-            if l == 0:
-                ploidy = jnp.broadcast_to(
-                    bucket.ploidy[:, None, :], (c, num_chains, s)
-                ).astype(jnp.int32)
-            else:
-                po = o_prev[parent_rows[l]]           # [C_l, ch, S]
-                ploidy = jax.vmap(lambda r, p: r[p])(
-                    retain_tables[l], po
-                ).astype(jnp.int32)
+            pl_lvl = parent_levels[l]
+            chrom_pl = jnp.broadcast_to(
+                bucket.ploidy[:, None, :], (c, num_chains, s)
+            ).astype(jnp.int32)
+            po = o_stack[
+                jnp.maximum(pl_lvl, 0), parent_rows[l]
+            ]                                              # [C_l, ch, S]
+            demoted = jax.vmap(lambda r, p: r[p])(
+                retain_tables[l], po
+            ).astype(jnp.int32)
+            ploidy = jnp.where(
+                (pl_lvl >= 0)[:, None, None], demoted, chrom_pl
+            )
+
+            ll = pre["ll"]
+            sh = pre.get("sh")
+            if sh is not None:
+                o_old = o_stack[l, :c]                     # [C, ch, S]
+                oh_old = jax.nn.one_hot(o_old, o, dtype=jnp.bfloat16)
+                own_old = jnp.einsum(
+                    "cqo,cxso->cqxs", sh["dip"].astype(jnp.bfloat16),
+                    oh_old, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(jnp.int32)                        # [C, Q, ch, S]
+                pool_g = pool[sh["slot"]]                  # [C, Q, ch, S]
+                m_ext = jnp.where(
+                    (sh["counts"] > 0)[:, :, None, :],
+                    pool_g - own_old, 0,
+                )
+                m_cand = jnp.minimum(
+                    sh["dip"][:, :, None, None, :]
+                    + sh["inter"][:, :, None, :, None]
+                    + m_ext[..., None],
+                    sh["mmax"],
+                )                                          # [C, Q, ch, S, O]
+
+                def _sh_gather(m, acc):
+                    tm = jax.lax.dynamic_index_in_dim(
+                        sh["tcut"], m, axis=3, keepdims=False
+                    )                                      # [C, Q, S]
+                    return acc + jnp.where(
+                        m_cand == m, tm[:, :, None, :, None], 0.0
+                    )
+
+                vals = jax.lax.fori_loop(
+                    0, sh["mmax"] + 1, _sh_gather,
+                    jnp.zeros(m_cand.shape, jnp.float32),
+                )                                          # [C, Q, ch, S, O]
+                ll_sh = jnp.einsum(
+                    "cxq,cqxso->cxso",
+                    sh["w_sh"].astype(jnp.float32), vals,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                # the null outcome keeps log-prob 0 (scored by the caller)
+                ll = ll + ll_sh.at[..., -1].set(0.0)
 
             def per_cc(ck, f, llcc, pl, hvc, sp, usp, osp=pre["osp"]):
                 key = jax.random.fold_in(ck, t.astype(jnp.uint32))
@@ -998,8 +1113,33 @@ def genotype_nested(base_key, buckets, parent_rows, retain_tables, tables,
             new_freqs, o_sel = jax.vmap(  # over clusters
                 jax.vmap(per_cc, in_axes=(0, 0, 0, 0, None, None, None)),
                 in_axes=(0, 0, 0, 0, 0, 0, 0),
-            )(pre["chain_keys"], freqs_list[l], pre["ll"], ploidy,
+            )(pre["chain_keys"], freqs_list[l], ll, ploidy,
               bucket.hap_valid, bucket.sparsity, bucket.use_sparse)
+
+            if sh is not None:
+                oh_new = jax.nn.one_hot(o_sel, o, dtype=jnp.bfloat16)
+                own_new = jnp.einsum(
+                    "cqo,cxso->cqxs", sh["dip"].astype(jnp.bfloat16),
+                    oh_new, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(jnp.int32)
+                delta = jnp.where(
+                    sh["valid"][:, :, None, None], own_new - own_old, 0
+                )
+                upd = jnp.einsum(
+                    "cqxs,cqp->pxs", delta.astype(jnp.float32),
+                    jax.nn.one_hot(sh["slot"], pool.shape[0],
+                                   dtype=jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(jnp.int32)
+                pool = pool + upd
+
+            pad_c = c_max - c
+            o_row = o_sel if pad_c == 0 else jnp.pad(
+                o_sel, ((0, pad_c), (0, 0), (0, 0))
+            )
+            o_stack = o_stack.at[l].set(o_row)
 
             collect = (t >= cfg0.burn_in).astype(jnp.int32)
             onehot = (
@@ -1008,8 +1148,9 @@ def genotype_nested(base_key, buckets, parent_rows, retain_tables, tables,
             ).astype(jnp.int32)
             new_tally_list.append(tally_list[l] + collect * onehot)
             new_freqs_list.append(new_freqs)
-            o_prev = o_sel
-        return (tuple(new_freqs_list), tuple(new_tally_list)), None
+        return (
+            tuple(new_freqs_list), tuple(new_tally_list), o_stack, pool
+        ), None
 
     tally0 = tuple(
         jnp.zeros(
@@ -1020,8 +1161,77 @@ def genotype_nested(base_key, buckets, parent_rows, retain_tables, tables,
         for l, b in enumerate(buckets)
     )
     freqs0 = tuple(pre["freqs0"] for pre in precomp)
-    (_, tallies), _ = jax.lax.scan(
-        step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32),
+    # Initial outcomes: UNIFORM over each cluster's chromosome-ploidy-valid
+    # outcomes, per (cluster, chain, sample). The reference randomises the
+    # sibling update ORDER each iteration (shuffleBranchOrdering,
+    # VariantClusterGroup.cpp:208-218); with one compiled level order that
+    # shuffle is not expressible, and a deterministic null start would let
+    # the first-ranked sibling of a symmetric shared-kmer family absorb all
+    # the evidence in EVERY chain (systematic mode collapse). Random inits
+    # split the chains across the posterior modes instead — a valid
+    # initialisation of the same sampler, and the across-chain tally then
+    # reflects the multimodal posterior like the reference's shuffled scan
+    # does (tests/test_coupling_adversarial.py pins both the exactness and
+    # the symmetric-family behaviour).
+    o_inits = []
+    for l in range(num_levels):
+        bucket = buckets[l]
+        o_l = outcomes_list[l].num_outcomes
+        pm = jnp.asarray(outcomes_list[l].ploidy_mask)      # [3, O]
+        valid = pm[bucket.ploidy.astype(jnp.int32)]         # [C, S, O]
+        logits = jnp.where(valid, 0.0, NEG_INF)
+        k_init = jax.random.fold_in(
+            jax.random.fold_in(base_key, jnp.uint32(l)),
+            jnp.uint32(0x696E6974),  # "init"
+        )
+
+        def per_cluster(cid, lg):
+            kc = jax.random.fold_in(k_init, cid.astype(jnp.uint32))
+            return jax.vmap(
+                lambda ch: _sample_outcomes(
+                    jax.random.fold_in(kc, ch), lg
+                )
+            )(jnp.arange(num_chains, dtype=jnp.uint32))     # [ch, S]
+
+        o_init = jax.vmap(per_cluster)(
+            bucket.cluster_id, logits
+        )                                                    # [C, ch, S]
+        o_init = jnp.where(
+            bucket.cluster_valid[:, None, None], o_init, o_l - 1
+        )
+        o_inits.append(o_init)
+    o_stack0 = jnp.stack([
+        o_inits[l] if buckets[l].num_clusters == c_max else jnp.pad(
+            o_inits[l],
+            ((0, c_max - buckets[l].num_clusters), (0, 0), (0, 0)),
+            constant_values=outcomes_list[l].num_outcomes - 1,
+        )
+        for l in range(num_levels)
+    ])
+    # pool seeded with every cluster's initial-outcome contributions
+    pool0 = jnp.zeros((max(num_pool, 1), num_chains, s), jnp.float32)
+    for l in range(num_levels):
+        sh = precomp[l].get("sh")
+        if sh is None:
+            continue
+        o_l = outcomes_list[l].num_outcomes
+        oh0 = jax.nn.one_hot(o_inits[l], o_l, dtype=jnp.bfloat16)
+        own0 = jnp.einsum(
+            "cqo,cxso->cqxs", sh["dip"].astype(jnp.bfloat16), oh0,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        own0 = jnp.where(sh["valid"][:, :, None, None], own0, 0.0)
+        pool0 = pool0 + jnp.einsum(
+            "cqxs,cqp->pxs", own0,
+            jax.nn.one_hot(sh["slot"], pool0.shape[0], dtype=jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    pool0 = pool0.astype(jnp.int32)
+    (_, tallies, _, _), _ = jax.lax.scan(
+        step, (freqs0, tally0, o_stack0, pool0),
+        jnp.arange(num_iters, dtype=jnp.int32),
         unroll=SCAN_UNROLL,
     )
     return tallies, tuple(pre["w"] for pre in precomp)

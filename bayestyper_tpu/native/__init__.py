@@ -108,6 +108,11 @@ def get_lib():
         i64, i64, i64, i64,
         u8p, u8p, u8p, u8p, u32p, u8p, f32p,
     ]
+    lib.bt_myers_ed.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    lib.bt_myers_ed.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -435,3 +440,13 @@ def bloom_query(bits, num_bits, num_hashes, hi, lo):
         np.ascontiguousarray(lo, np.uint64), len(hi), out,
     )
     return out.astype(bool)
+
+
+def myers_edit_distance(a: bytes, b: bytes, max_dist: int = -1) -> int:
+    """Exact Levenshtein distance via block-based Myers bit-parallel DP
+    (bt_myers_ed) — the same core algorithm as the reference's vendored
+    edlib (Annotate.cpp:57-92 usage). O(len(a) * len(b) / 64) word ops:
+    ~0.2 s for a 100 kb x 100 kb comparison. With max_dist >= 0, returns
+    max_dist + 1 immediately when the |len(a) - len(b)| lower bound already
+    exceeds it."""
+    return int(get_lib().bt_myers_ed(a, len(a), b, len(b), int(max_dist)))

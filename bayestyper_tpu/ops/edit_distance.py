@@ -1,10 +1,15 @@
-"""Edit distance (Levenshtein) — vectorised numpy DP.
+"""Edit distance (Levenshtein) — Myers bit-parallel via btnative, with a
+vectorised numpy DP fallback.
 
 Replaces the vendored edlib dependency (external/edlib) used by
-bayesTyperTools annotate (Annotate.cpp:57-92). The DP row update is fully
-vectorised: the left-to-right insertion dependency
-cur[j] = min(t[j], cur[j-1] + 1) is solved in closed form as
-min_{i<=j}(seed[i] + (j - i)) via a single minimum-accumulate.
+bayesTyperTools annotate (Annotate.cpp:57-92). The fast path is the native
+block-based Myers/Hyyro algorithm (native.myers_edit_distance,
+O(n*m/64) word ops — reference-scale 100 kb+ SV alleles in ~a second,
+exercised by tests/test_tools.py::test_edit_distance_large). The numpy
+fallback runs the classic row DP with the left-to-right insertion
+dependency solved in closed form (min-accumulate) and an early exit on the
+row minimum; it is O(n*m) cells and intended for short alleles only —
+callers without the native library should bound inputs to ~10 kb.
 """
 
 from __future__ import annotations
@@ -13,8 +18,22 @@ import numpy as np
 
 
 def edit_distance(a: str, b: str, max_dist: int | None = None) -> int:
-    """Levenshtein distance between strings a and b; returns max_dist + 1
-    early when the band minimum exceeds max_dist."""
+    """Levenshtein distance between a and b; with max_dist set, may return
+    any value > max_dist as soon as the distance is known to exceed it."""
+    if max_dist is not None and abs(len(a) - len(b)) > max_dist:
+        return max_dist + 1
+
+    from .. import native
+
+    if native.available():
+        return native.myers_edit_distance(
+            a.encode(), b.encode(),
+            -1 if max_dist is None else int(max_dist),
+        )
+    return _edit_distance_numpy(a, b, max_dist)
+
+
+def _edit_distance_numpy(a: str, b: str, max_dist: int | None = None) -> int:
     if len(a) < len(b):
         a, b = b, a
     if not b:

@@ -31,7 +31,9 @@ def _score(r1, a1, r2, a2, ref_edit, alt_edit):
     return 1.0 - (ref_edit + alt_edit) / max(denom, 1)
 
 
-def _ed_safe(s1: str, s2: str) -> int:
+def _ed_safe(s1: str, s2: str, max_dist: int | None = None) -> int:
+    """N-adjusted edit distance; with max_dist, any return > max_dist only
+    promises the true value exceeds it (callers reject those matches)."""
     if not s1 and not s2:
         return 0
     if not s1:
@@ -39,7 +41,8 @@ def _ed_safe(s1: str, s2: str) -> int:
     if not s2:
         return len(s1)
     n_diff = abs(s1.count("N") - s2.count("N"))
-    return max(edit_distance(s1, s2) - n_diff, 0)
+    cap = None if max_dist is None else max(max_dist, 0) + n_diff
+    return max(edit_distance(s1, s2, max_dist=cap) - n_diff, 0)
 
 
 def annotate(variant_file, annotation_file, out_path,
@@ -114,11 +117,18 @@ def annotate(variant_file, annotation_file, out_path,
                         if _score(len(ref_t), len(alt_t), len(aref), len(aalt),
                                   re_b, ae_b) < match_threshold:
                             continue
-                        re = _ed_safe(ref_t, aref)
+                        # the edit distances only matter up to the point the
+                        # score falls below the threshold — bound them so
+                        # the Myers DP can stop early on dissimilar pairs
+                        denom = max(len(ref_t), len(aref)) + max(
+                            len(alt_t), len(aalt)
+                        )
+                        budget = int((1.0 - match_threshold) * denom)
+                        re = _ed_safe(ref_t, aref, max_dist=budget - ae_b)
                         if _score(len(ref_t), len(alt_t), len(aref), len(aalt),
                                   re, ae_b) < match_threshold:
                             continue
-                        ae = _ed_safe(alt_t, aalt)
+                        ae = _ed_safe(alt_t, aalt, max_dist=budget - re)
                         if _score(len(ref_t), len(alt_t), len(aref), len(aalt),
                                   re, ae) >= match_threshold:
                             ids.update(aids)

@@ -796,4 +796,76 @@ void bt_bloom_query(const uint64_t* bits, uint64_t num_bits,
     }
 }
 
+// --- Myers bit-parallel edit distance ------------------------------------
+//
+// Block-based Myers/Hyyro Levenshtein: O(n * m / 64) word operations, the
+// same core algorithm as the reference's vendored edlib (external/edlib,
+// used by bayesTyperTools annotate, Annotate.cpp:57-92). Pattern b runs
+// vertically in ceil(m/64) blocks; per text character one add-with-carry
+// pass updates the vertical delta vectors, and the score is tracked at the
+// pattern's true last row. Returns the exact distance, or any value
+// > max_dist once the lower bound |n - m| exceeds it (caller-side guard).
+
+static inline int bt_advance_block(uint64_t& VP, uint64_t& VN, uint64_t Eq,
+                                   int hin) {
+    const uint64_t Xv = Eq | VN;
+    if (hin < 0) Eq |= 1ULL;
+    const uint64_t Xh = (((Eq & VP) + VP) ^ VP) | Eq;
+    uint64_t Ph = VN | ~(Xh | VP);
+    uint64_t Mh = VP & Xh;
+    int hout = 0;
+    if (Ph & (1ULL << 63)) hout = 1;
+    else if (Mh & (1ULL << 63)) hout = -1;
+    Ph <<= 1;
+    Mh <<= 1;
+    if (hin < 0) Mh |= 1ULL;
+    else if (hin > 0) Ph |= 1ULL;
+    VP = Mh | ~(Xv | Ph);
+    VN = Ph & Xv;
+    return hout;
+}
+
+int64_t bt_myers_ed(const uint8_t* a, int64_t n, const uint8_t* b, int64_t m,
+                    int64_t max_dist) {
+    if (m == 0) return n;
+    if (n == 0) return m;
+    const int64_t nm = (n > m) ? (n - m) : (m - n);
+    if (max_dist >= 0 && nm > max_dist) return max_dist + 1;
+
+    const int64_t W = (m + 63) / 64;
+    std::vector<uint64_t> Peq(256 * W, 0);
+    for (int64_t i = 0; i < m; ++i)
+        Peq[(size_t)b[i] * W + (i >> 6)] |= 1ULL << (i & 63);
+
+    std::vector<uint64_t> VP(W, ~0ULL), VN(W, 0);
+    const int64_t last = W - 1;
+    const int r = (int)((m - 1) & 63);
+    int64_t score = m;
+
+    for (int64_t j = 0; j < n; ++j) {
+        const uint64_t* pc = &Peq[(size_t)a[j] * W];
+        int hin = 1;  // row 0 of the virtual top border increases by 1/col
+        for (int64_t blk = 0; blk < last; ++blk)
+            hin = bt_advance_block(VP[blk], VN[blk], pc[blk], hin);
+        // last block: score delta read at the pattern's true last row r
+        {
+            uint64_t Eq = pc[last];
+            const uint64_t Xv = Eq | VN[last];
+            if (hin < 0) Eq |= 1ULL;
+            const uint64_t Xh = (((Eq & VP[last]) + VP[last]) ^ VP[last]) | Eq;
+            uint64_t Ph = VN[last] | ~(Xh | VP[last]);
+            uint64_t Mh = VP[last] & Xh;
+            if ((Ph >> r) & 1ULL) ++score;
+            else if ((Mh >> r) & 1ULL) --score;
+            Ph <<= 1;
+            Mh <<= 1;
+            if (hin < 0) Mh |= 1ULL;
+            else if (hin > 0) Ph |= 1ULL;
+            VP[last] = Mh | ~(Xv | Ph);
+            VN[last] = Ph & Xv;
+        }
+    }
+    return score;
+}
+
 }  // extern "C"

@@ -344,7 +344,7 @@ def oracle_gibbs(cluster: OracleCluster, tables, num_chains, burn_in,
 
 def oracle_gibbs_coupled(clusters, shared, tables, num_chains, burn_in,
                          num_samples, seed, sparsities, use_sparse=True,
-                         max_total_mult=None):
+                         max_total_mult=None, zero_count_ignores_shared=True):
     """Joint Gibbs over clusters of ONE group with SHARED k-mers coupled
     through their summed diplotype multiplicities — the reference's
     multicluster mechanism (KmerCounts.cpp:197-223,
@@ -360,6 +360,12 @@ def oracle_gibbs_coupled(clusters, shared, tables, num_chains, burn_in,
       shared: dict global_kmer_id -> list of (cluster_idx, local_kmer_idx)
         for k-mers present in more than one cluster. Counts for a shared
         k-mer must be identical in every listed cluster.
+      zero_count_ignores_shared: the reference scores a multicluster k-mer
+        whose observed count is zero at OWN multiplicity only
+        (getMulticlusterKmerMultiplicity,
+        VariantClusterHaplotypes.cpp:85-93: the `getSampleCount == 0`
+        branch skips the shared total) — True reproduces that; False keeps
+        the fully-coupled variant.
     Returns list of per-cluster tallies [S, O_i].
     """
     n_cl = len(clusters)
@@ -412,13 +418,16 @@ def oracle_gibbs_coupled(clusters, shared, tables, num_chains, burn_in,
                             continue
                         lp = hwe_prior(freqs[ci], h1, h2)
                         for kk in range(cl.k):
-                            m = int(cl.inter[kk, s]) + other_mult(ci, kk, s)
+                            cnt = int(cl.counts[kk, s])
+                            m = int(cl.inter[kk, s])
+                            if cnt > 0 or not zero_count_ignores_shared:
+                                m += other_mult(ci, kk, s)
                             if h1 is not None:
                                 m += int(cl.mult[kk, h1])
                             if h2 is not None:
                                 m += int(cl.mult[kk, h2])
                             lp += tables[s, min(m, mmax),
-                                         min(int(cl.counts[kk, s]), MAX_COUNT)]
+                                         min(cnt, MAX_COUNT)]
                         cand.append((oi, lp))
                     pick = cand[_log_discrete_sample(
                         rng, np.asarray([x for _, x in cand])

@@ -194,11 +194,15 @@ def test_segdup_family_genotypes_end_to_end(tmp_path):
         {snv1: (0, 0), snv2: (0, 1), d_start: (0, 0)},
     ]
     samples = []
+    # apply only the SNVs: the deletion is absent on every haplotype, and
+    # apply_haplotype cannot splice variants nested inside another
+    # variant's REF span (it assumes disjoint spans)
+    snv_variants = [v for v in variants if v[0] != d_start]
     for si, tr in enumerate(truths):
-        alleles1 = [tr[p][0] for p, _, _ in variants]
-        alleles2 = [tr[p][1] for p, _, _ in variants]
-        h1 = apply_haplotype(seq, variants, alleles1)
-        h2 = apply_haplotype(seq, variants, alleles2)
+        alleles1 = [tr[p][0] for p, _, _ in snv_variants]
+        alleles2 = [tr[p][1] for p, _, _ in snv_variants]
+        h1 = apply_haplotype(seq, snv_variants, alleles1)
+        h2 = apply_haplotype(seq, snv_variants, alleles2)
         hi, lo, counts = simulate_counts(rng, [h1, h2], k, mean=20.0)
         prefix = str(tmp_path / f"s{si}")
         write_kmc1(prefix, hi, lo, counts, kmer_length=k)
@@ -227,3 +231,108 @@ def test_segdup_family_genotypes_end_to_end(tmp_path):
                 continue  # low-confidence no-call is acceptable, wrong is not
             got = tuple(sorted(int(x) for x in gt.replace("|", "/").split("/")))
             assert got == tr[pos], (si, pos, got, tr[pos])
+
+
+def _production_coupled_gpp(rng_seed, n_private, n_shared, chains=30,
+                            samples=500):
+    """Run the PRODUCTION coupled program (gibbs.genotype_nested with shared
+    pools) on the constructed family; returns per-cluster GPP plus the
+    coupled-oracle GPP on the same data."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayestyper_tpu.model.buckets import build_bucket
+    from bayestyper_tpu.model.gibbs import (
+        GibbsConfig, genotype_nested, make_outcome_space,
+    )
+
+    rng = np.random.default_rng(rng_seed)
+    clusters, shared, spars = _family(rng, n_private, n_shared)
+    tables = _tables(2)
+
+    tallies_o = oracle.oracle_gibbs_coupled(
+        clusters, shared, tables, num_chains=chains, burn_in=80,
+        num_samples=samples, seed=5, sparsities=spars, max_total_mult=12,
+    )
+    gpp_o = [
+        oracle.posteriors_from_tally(cl, t)[0]
+        for cl, t in zip(clusters, tallies_o)
+    ]
+
+    # production: one cluster per rank level, shared kmers pool-coupled
+    k_pad = 32
+    buckets, shared_infos = [], []
+    for ci, cl in enumerate(clusters):
+        bucket = build_bucket([dict(
+            mult=cl.mult.astype(np.uint8),
+            inter_mult=cl.inter.astype(np.uint8),
+            counts=cl.counts.astype(np.uint8),
+            ploidy=cl.ploidy.astype(np.int8),
+            hap_allele=cl.hap_allele.astype(np.int16),
+            num_alleles=cl.num_alleles.astype(np.int16),
+            member=np.ones((cl.k, 1, cl.h), bool),
+            # cover of 1 of 2 haplotypes -> sparse prior with sparsity 0.5,
+            # matching the oracle's sparsities=[0.5, 0.5]
+            cover=[0],
+            cluster_id=100 + ci,
+        )], (1, k_pad, 2, 1), 2).device_arrays()
+        buckets.append(bucket)
+        q = np.arange(cl.k - n_shared, cl.k)
+        q_cap = 1
+        while q_cap < n_shared:
+            q_cap *= 2
+        sh_idx = np.zeros((1, q_cap), np.int32)
+        sh_slot = np.zeros((1, q_cap), np.int32)
+        sh_valid = np.zeros((1, q_cap), bool)
+        sh_mask = np.zeros((1, k_pad), bool)
+        sh_idx[0, :n_shared] = q
+        sh_slot[0, :n_shared] = np.arange(n_shared)
+        sh_valid[0, :n_shared] = True
+        sh_mask[0, q] = True
+        shared_infos.append(dict(
+            sh_idx=jnp.asarray(sh_idx), sh_slot=jnp.asarray(sh_slot),
+            sh_valid=jnp.asarray(sh_valid), sh_mask=jnp.asarray(sh_mask),
+        ))
+
+    outcomes = make_outcome_space(2)
+    cfg = GibbsConfig(
+        num_chains=chains, burn_in=80, num_samples=samples,
+        kmer_subsampling_rate=1.0, max_total_mult=12,
+    )
+    parent_levels = [jnp.full(1, -1, jnp.int32)] * 2
+    parent_rows = [jnp.zeros(1, jnp.int32)] * 2
+    retain_tables = [jnp.zeros((1, outcomes.num_outcomes), jnp.int8)] * 2
+    tallies_p, _ = genotype_nested(
+        jax.random.PRNGKey(9), tuple(buckets), tuple(parent_levels),
+        tuple(parent_rows), tuple(retain_tables), tuple(shared_infos),
+        jnp.asarray(tables.astype(np.float32)), (outcomes, outcomes),
+        (cfg, cfg), num_pool=n_shared,
+    )
+    gpp_p = []
+    for ci, cl in enumerate(clusters):
+        t = np.asarray(tallies_p[ci])[0].sum(axis=0)  # [S, O]
+        gpp_p.append(
+            oracle.posteriors_from_tally(cl, t.astype(np.int64))[0]
+        )
+    return gpp_p, gpp_o
+
+
+def test_production_coupling_matches_coupled_oracle():
+    """The coupled program must MATCH the coupled oracle within MCMC
+    resolution — in the weak-private regime where the retired exclusion
+    approximation measurably deviated (VERDICT r3 item 4: exclusion
+    retired, agreement asserted)."""
+    gpp_p, gpp_o = _production_coupled_gpp(2, n_private=2, n_shared=10)
+    dev = max(
+        float(np.abs(p - o).max()) for p, o in zip(gpp_p, gpp_o)
+    )
+    # MCMC width at 30 chains x 500 samples is ~0.01 on these posteriors
+    assert dev < 0.04, f"production-vs-coupled-oracle deviation {dev:.4f}"
+
+
+def test_production_coupling_strong_private():
+    gpp_p, gpp_o = _production_coupled_gpp(1, n_private=12, n_shared=6)
+    dev = max(
+        float(np.abs(p - o).max()) for p, o in zip(gpp_p, gpp_o)
+    )
+    assert dev < 0.03, f"production-vs-coupled-oracle deviation {dev:.4f}"

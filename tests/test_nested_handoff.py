@@ -73,8 +73,9 @@ def _build(app_row, nak_row):
         nak=nak, fak=nak.copy(), mac=nak.copy(),
     )
     by_id = {5: parent}
+    # new signature: parent stats addressed by (level, row) via row_of
     got = _nested_missing_stats(
-        [child], [parent_fc], stats, by_id, c_pad=1, num_samples=s
+        [child], [stats], {5: (0, 0)}, by_id, c_pad=1, num_samples=s
     )
     return float(np.asarray(got[0])[0, 0])
 

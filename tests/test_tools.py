@@ -182,6 +182,54 @@ def test_annotate_transfers_ids(tmp_path):
     assert variants[2].info["AAI"] == "."
 
 
+def test_edit_distance_large(tmp_path):
+    """Reference-scale SV alleles (max-allele-length is 500 kb,
+    main.cpp:135; Annotate.cpp:57-92 compares them via edlib): the Myers
+    bit-parallel path must annotate a 100 kb+ deletion in seconds, and the
+    distance must be exact."""
+    from bayestyper_tpu import native
+    from bayestyper_tpu.ops.edit_distance import (
+        _edit_distance_numpy, edit_distance,
+    )
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    # exactness at awkward (multi-block, off-boundary) lengths
+    for la, lb in [(65, 63), (128, 128), (129, 200), (1000, 997)]:
+        a = "".join(rng.choice(list("ACGT"), la))
+        b = "".join(rng.choice(list("ACGT"), lb))
+        assert edit_distance(a, b) == _edit_distance_numpy(a, b)
+
+    import time
+
+    sv = "".join(rng.choice(list("ACGT"), 120_000))
+    mutated = list(sv)
+    for i in rng.integers(0, len(sv), 300):
+        mutated[i] = "A"
+    mutated = "".join(mutated)
+    t0 = time.perf_counter()
+    d = edit_distance(sv, mutated)
+    elapsed = time.perf_counter() - t0
+    assert 0 < d <= 300
+    assert elapsed < 60.0, f"120 kb x 120 kb took {elapsed:.1f}s"
+
+    # end-to-end: annotate transfers the id of a similar 120 kb deletion
+    anno = _write_vcf(tmp_path / "anno_sv.vcf", [
+        _var(pos=1000, ref="G" + sv, alts=("G",), ids=("big_sv",)),
+    ])
+    calls = _write_vcf(tmp_path / "calls_sv.vcf", [
+        _var(pos=1000, ref="G" + mutated, alts=("G",)),
+    ])
+    out = str(tmp_path / "annotated_sv.vcf")
+    annotate(calls, anno, out, match_threshold=0.5)
+    _, variants = __import__(
+        "bayestyper_tpu.io.vcf", fromlist=["read_all"]
+    ).read_all(out)
+    assert "big_sv" in variants[0].ids
+
+
 def test_homopolymer_info():
     seq = b"ACGTTTTTACG"
     length, base = homopolymer_info(5, seq)
