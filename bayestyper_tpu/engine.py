@@ -473,6 +473,19 @@ def _run_cluster_phase_impl(
             shared_slot_all[shared_entry] = np.searchsorted(
                 pool_rows, midx_all[shared_entry]
             ).astype(np.int32)
+        # has_max_multiplicity is a GLOBAL per-kmer flag in the reference
+        # (KmerCounts.cpp:153-171 accumulates the max haploid multiplicity
+        # across every cluster occurrence + intercluster copies): for rows
+        # occurring in several clusters, sum the per-entry path maxima so a
+        # shared kmer is excluded everywhere or nowhere (computed here
+        # while the union row count is still in scope)
+        mult_max_all = np.concatenate([
+            c.mult_max if c.mult_max is not None
+            else c.mult.max(axis=1, initial=0)
+            for c in compiled
+        ])
+        row_mult_sum = np.zeros(n_rows, np.int64)
+        np.add.at(row_mult_sum, midx_all, mult_max_all.astype(np.int64))
         # all-path union rows are exactly (u_hi, u_lo), already sorted —
         # build the table without re-sorting
         all_path_union = LaneTable.__new__(LaneTable)
@@ -592,18 +605,6 @@ def _run_cluster_phase_impl(
     # counts and the gender multiplicity gathers; the Python loop only
     # slices views and packs dataclasses.
     if compiled:
-        mult_max_all = np.concatenate([
-            c.mult_max if c.mult_max is not None
-            else c.mult.max(axis=1, initial=0)
-            for c in compiled
-        ])
-        # has_max_multiplicity is a GLOBAL per-kmer flag in the reference
-        # (KmerCounts.cpp:153-171 accumulates the max haploid multiplicity
-        # across every cluster occurrence + intercluster copies): for rows
-        # occurring in several clusters, sum the per-entry path maxima so a
-        # shared kmer is excluded everywhere or nowhere
-        row_mult_sum = np.zeros(len(u_hi), np.int64)
-        np.add.at(row_mult_sum, midx_all, mult_max_all.astype(np.int64))
         total_mult_all = occ_count[midx_all] + row_mult_sum[midx_all]
         keep_all = (
             member_any_all
@@ -1057,8 +1058,13 @@ _STACK_BUDGET_BYTES = int(os.environ.get("BT_STACK_BUDGET", 3 << 29))
 def _stack_groups(chunks, per_chunk_bytes):
     """Split a class's chunk list into stacked groups under the HBM budget,
     each group's B padded to a power of two (bounding distinct compiled
-    (class, B) shapes to log2 many)."""
+    (class, B) shapes to log2 many). B is additionally capped at a
+    measured-safe stack depth: a B=16 x 4096-cluster x 20-chain bulk
+    program crashed the axon remote worker while B=8 ran — the same
+    1.3M-cluster-chain scale that motivates the noise phase's chain-group
+    split."""
     b_cap = max(1, _STACK_BUDGET_BYTES // max(per_chunk_bytes, 1))
+    b_cap = min(b_cap, int(os.environ.get("BT_STACK_MAX_B", 8)))
     p = 1
     while p * 2 <= b_cap:
         p *= 2
@@ -1817,10 +1823,12 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     # padded with inert zero chunks to a power-of-two B. Dispatch is async:
     # the host builds group N+1's buckets and renders group N-1's rows
     # (emitter worker) while the device runs group N.
+    t_build = t_stack = t_disp = t_stats = t_throttle = 0.0
     for key_cls in sorted(plan):
         pc = plan[key_cls]
         outcomes = make_outcome_space(pc.h)
         for group, b_pad in _stack_groups(pc.chunks, pc.per_chunk_bytes):
+            t0 = time.perf_counter()
             bs = [
                 _bucket_cached(
                     bucket_cache, chunk, (pc.c_pad, pc.k, pc.h, pc.v),
@@ -1830,11 +1838,14 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             ]
             while len(bs) < b_pad:
                 bs.append(zero_bucket_like(bs[0]))
+            t1 = time.perf_counter()
             sb = stack_buckets(bs)
             del bs
             if mesh is not None:
                 sb = _shard_stacked_for_mesh(sb, mesh)
+            t2 = time.perf_counter()
             tallies, ws = genotype_stacked(key, sb, tables, outcomes, pc.cfg)
+            t3 = time.perf_counter()
             for b, chunk in enumerate(group):
                 stats = collect_bucket_stats(
                     slice_bucket(sb, b), outcomes, tallies[b], ws[b],
@@ -1843,8 +1854,19 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
                 )
                 emitter.emit(chunk, stats)
                 num_genotyped += sum(len(fc.variants) for fc in chunk)
-            emitter.throttle()
+            t4 = time.perf_counter()
+            emitter.throttle(8)
+            t5 = time.perf_counter()
+            t_build += t1 - t0
+            t_stack += t2 - t1
+            t_disp += t3 - t2
+            t_stats += t4 - t3
+            t_throttle += t5 - t4
             _log(f"Genotyped {num_genotyped} variants")
+    _log(f"[wave loop] build {t_build:.1f}s stack+upload {t_stack:.1f}s "
+         f"dispatch {t_disp:.1f}s stats-dispatch {t_stats:.1f}s "
+         f"throttle-wait {t_throttle:.1f}s; emitter fetch "
+         f"{emitter.t_fetch:.1f}s render {emitter.t_render:.1f}s")
 
     emitter.close()
     bucket_cache.clear()
@@ -2130,6 +2152,8 @@ class _AsyncEmitter:
         self.ploidy_model = ploidy_model
         self.pool = ThreadPoolExecutor(1)
         self.futures = []
+        self.t_fetch = 0.0
+        self.t_render = 0.0
 
     def emit(self, chunk, stats):
         self.futures.append(self.pool.submit(
@@ -2137,9 +2161,13 @@ class _AsyncEmitter:
         ))
 
     def _job(self, chunk, stats):
+        t0 = time.perf_counter()
         stats = _fetch_stats(stats)
+        t1 = time.perf_counter()
         _emit_records_host(self.writer, chunk, stats, self.samples,
                            self.ploidy_model)
+        self.t_fetch += t1 - t0
+        self.t_render += time.perf_counter() - t1
 
     def throttle(self, max_pending: int = 16):
         """Bound in-flight stats so device tallies/stats buffers don't pile

@@ -311,14 +311,27 @@ def compute_log_likelihoods(
         # SNV-class shapes). A dot with a single nonzero one-hot term is
         # bit-exact: HIGHEST precision splits f32 into bf16 triples whose
         # sum reconstructs the operand exactly.
-        # P[c,k,s,m] = tables[s, m, counts[c,k,s]]
+        # P[c,k,s,m] = tables[s, m, counts[c,k,s]] — computed per SAMPLE so
+        # the [C,K,256] one-hot transient stays ~S times smaller than the
+        # full [C,K,S,256] operand (3.5 GB at bulk-class shapes — the peak
+        # that crashed the worker when two stacked groups overlapped).
+        # Same one-hot dot per element, so the result is bit-identical.
         t = tables[:, : mmax + 1, :].astype(jnp.float32)  # [S, M, 256]
-        p = jnp.einsum(
-            "cksq,smq->cksm",
-            jax.nn.one_hot(bucket.counts, 256, dtype=jnp.bfloat16),
-            t,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+
+        def _p_of_sample(args):
+            cnt_s, t_s = args  # [C, K], [M, 256]
+            return jnp.einsum(
+                "ckq,mq->ckm",
+                jax.nn.one_hot(cnt_s, 256, dtype=jnp.bfloat16), t_s,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        p = jnp.moveaxis(
+            jax.lax.map(
+                _p_of_sample, (jnp.moveaxis(bucket.counts, 2, 0), t)
+            ),
+            0, 2,
         )  # [C, K, S, M]
         if has_inter:
             inter_ks = bucket.inter_mult.astype(jnp.int32)  # [C, K, S]
@@ -368,14 +381,24 @@ def compute_log_likelihoods(
 
     # ---- multiplicity-class loop strategy ----
     # P[c,s,m,k] = tables[s, m, counts[c,k,s]] — a one-hot MXU contraction
-    # (see the small-outcome strategy note: gathers serialize on TPU)
+    # (see the small-outcome strategy note: gathers serialize on TPU),
+    # computed per sample to bound the one-hot transient (bit-identical)
     t = tables[:, : mmax + 1, :].astype(jnp.float32)  # [S, M, 256]
-    p = jnp.einsum(
-        "cksq,smq->csmk",
-        jax.nn.one_hot(bucket.counts, 256, dtype=jnp.bfloat16),
-        t,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+
+    def _p_of_sample(args):
+        cnt_s, t_s = args  # [C, K], [M, 256]
+        return jnp.einsum(
+            "ckq,mq->cmk",
+            jax.nn.one_hot(cnt_s, 256, dtype=jnp.bfloat16), t_s,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    p = jnp.moveaxis(
+        jax.lax.map(
+            _p_of_sample, (jnp.moveaxis(bucket.counts, 2, 0), t)
+        ),
+        0, 1,
     )  # [C, S, M, K]
 
     inter = jnp.transpose(bucket.inter_mult, (0, 2, 1)).astype(jnp.int32)  # [C,S,K]
@@ -498,7 +521,7 @@ def compute_noise_terms(bucket: ClusterBucket, outcomes: OutcomeSpace, w,
 # 0.35 s). Above this, a two-level blocked inverse CDF cuts the quadratic
 # term from O^2 to (O/B)^2 + B^2. Kept at/below it so the bulk SNV/indel
 # classes (O <= 153) stay bit-exact with the pinned goldens.
-_SAMPLE_ONELEVEL_MAX_O = 256
+_SAMPLE_ONELEVEL_MAX_O = 128
 _SAMPLE_BLOCK = 64
 
 
@@ -583,11 +606,25 @@ def _gibbs_iteration(key, freqs, ll, ploidy, hap_valid, sparsity, use_sparse, os
     logits = jnp.where(valid, prior[None, :] + ll, NEG_INF)
     o_sel = _sample_outcomes(k_cat, logits)
 
-    # haplotype observation counts via one-hot sums (a scatter-add here would
-    # serialize on TPU and dominates the whole Gibbs iteration)
-    both = jnp.concatenate([oa[o_sel], ob[o_sel]])          # [2S]
-    hap_counts = jnp.sum(
-        both[:, None] == jnp.arange(h, dtype=both.dtype)[None, :], axis=0
+    # haplotype observation counts via a one-hot CONTRACTION: indexing
+    # oa[o_sel]/ob[o_sel] lowers to a serialized per-element gather that
+    # dominated the stacked scan (~65 ms/step at [8,4096,20,13] index
+    # volume); hap_inc is a compile-time-constant [O, H] matrix, so this is
+    # one vectorised matmul. Integer-valued f32 sums are exact, so the
+    # counts are bit-identical to the gather formulation.
+    o = oa.shape[0]
+    hr = jnp.arange(h, dtype=oa.dtype)
+    hap_inc = (
+        (oa[:, None] == hr).astype(jnp.float32)
+        + (ob[:, None] == hr).astype(jnp.float32)
+    )                                                        # [O, H] const
+    onehot_sel = (
+        jnp.arange(o, dtype=jnp.int32) == o_sel[:, None]
+    ).astype(jnp.float32)                                    # [S, O]
+    hap_counts = jnp.einsum(
+        "so,oh->h", onehot_sel, hap_inc,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)                                      # [H]
     n_total = jnp.sum(hap_counts)
 
@@ -1624,6 +1661,8 @@ def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
     num_iters = cfg.burn_in + cfg.num_samples
     o = outcomes.num_outcomes
     osp = _osp_arrays(outcomes)
+    b, c = sbucket.mult.shape[:2]
+    s = sbucket.counts.shape[3]
 
     def pre(bucket_b):
         k_sub, k_chain = jax.random.split(base_key)
@@ -1632,6 +1671,12 @@ def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
             bucket_b, outcomes, tables, w, cfg.max_total_mult,
             include_noise_row=True, has_inter=cfg.has_inter,
         )
+        # the scan-resident LL is stored with (S, O) FLATTENED: tiny minor
+        # dims pad up to ~20x under the TPU's (8, 128) tiling, and the
+        # padded ll+tally carries were the stacked program's HBM ceiling
+        # (B=16 bulk groups OOMed). S*O ~ 78-128 keeps padding ~1x; the
+        # per-step reshape back to [S, O] is a fused index remap.
+        ll = ll.reshape(ll.shape[0], cfg.num_chains, s * o)
         chain_keys = _chain_keys(k_chain, bucket_b.cluster_id, cfg.num_chains)
         return w, ll, chain_keys, _freqs0(bucket_b, cfg.num_chains)
 
@@ -1640,9 +1685,11 @@ def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
     def step(carry, t):
         freqs, tally = carry
 
-        def per_cc(ck, f, llcc, ploidy, hvc, sp, usp):
+        def per_cc(ck, f, ll_flat, ploidy, hvc, sp, usp):
             key = jax.random.fold_in(ck, t.astype(jnp.uint32))
-            return _gibbs_iteration(key, f, llcc, ploidy, hvc, sp, usp, osp)
+            return _gibbs_iteration(
+                key, f, ll_flat.reshape(s, o), ploidy, hvc, sp, usp, osp
+            )
 
         per_cluster = jax.vmap(  # over chains
             per_cc, in_axes=(0, 0, 0, None, None, None, None)
@@ -1655,17 +1702,15 @@ def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
         collect = (t >= cfg.burn_in).astype(jnp.int32)
         onehot = (
             jnp.arange(o, dtype=jnp.int32) == o_sel[..., None]
-        ).astype(jnp.int32)
+        ).astype(jnp.int32).reshape(b, c, cfg.num_chains, s * o)
         return (new_freqs, tally + collect * onehot), None
 
-    b, c = sbucket.mult.shape[:2]
-    s = sbucket.counts.shape[3]
-    tally0 = jnp.zeros((b, c, cfg.num_chains, s, o), jnp.int32)
+    tally0 = jnp.zeros((b, c, cfg.num_chains, s * o), jnp.int32)
     (_, tally), _ = jax.lax.scan(
         step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32),
         unroll=SCAN_UNROLL,
     )
-    return tally, w
+    return tally.reshape(b, c, cfg.num_chains, s, o), w
 
 
 def _noise_setup_stacked(base_key, k_master, sbucket, tables, outcomes, cfg,
@@ -1699,24 +1744,36 @@ def _noise_setup_stacked(base_key, k_master, sbucket, tables, outcomes, cfg,
         return w, llg, a, b_, c0, cluster_keys, _freqs0(bucket_b, num_chains)
 
     w, llg, a, b_, c0, cluster_keys, freqs0 = jax.lax.map(pre, sbucket)
+    # (S, O) flattened for the scan-resident arrays — see genotype_stacked:
+    # padded tiny minor dims were the stacked programs' HBM ceiling
+    bb, cc = llg.shape[:2]
+    s = sbucket.counts.shape[3]  # stacked layout [B, C, K, S]
+    o = outcomes.num_outcomes
+    flat = lambda x: x.reshape(bb, cc, num_chains, s * o)
     return dict(
-        sbucket=sbucket, w=w, llg=llg, a=a, b=b_, c0=c0,
-        cluster_keys=cluster_keys, freqs0=freqs0,
-        osp=_osp_arrays(outcomes), num_outcomes=outcomes.num_outcomes,
+        sbucket=sbucket, w=w, llg=flat(llg), a=flat(a), b=flat(b_),
+        c0=flat(c0), cluster_keys=cluster_keys, freqs0=freqs0,
+        osp=_osp_arrays(outcomes), num_outcomes=o, num_samples=s,
+        null_mask=jnp.arange(s * o) % o == o - 1,
     )
 
 
-def _stacked_class_step(su, freqs, t, ll):
-    """One Gibbs iteration for every (chunk, cluster, chain) of one class."""
+def _stacked_class_step(su, freqs, t, ll_flat):
+    """One Gibbs iteration for every (chunk, cluster, chain) of one class.
+    ll_flat is [B, C, ch, S*O]; the [S, O] view is a fused index remap."""
+    s, o = su["num_samples"], su["num_outcomes"]
+
     def per_cc(ck, f, llcc, ploidy, hvc, sp, usp, osp=su["osp"]):
         key = jax.random.fold_in(ck, t.astype(jnp.uint32))
-        return _gibbs_iteration(key, f, llcc, ploidy, hvc, sp, usp, osp)
+        return _gibbs_iteration(
+            key, f, llcc.reshape(s, o), ploidy, hvc, sp, usp, osp
+        )
 
     sbucket = su["sbucket"]
     per_cluster = jax.vmap(per_cc, in_axes=(0, 0, 0, None, None, None, None))
     return jax.vmap(jax.vmap(  # over chunks, clusters
         per_cluster, in_axes=(0, 0, 0, 0, 0, 0, 0)
-    ))(su["cluster_keys"], freqs, ll, sbucket.ploidy, sbucket.hap_valid,
+    ))(su["cluster_keys"], freqs, ll_flat, sbucket.ploidy, sbucket.hap_valid,
        sbucket.sparsity, sbucket.use_sparse)
 
 
@@ -1771,20 +1828,30 @@ def noise_chains_stacked(base_key, sbuckets, noise_valids, tables, init_rates,
         num_obs = jnp.zeros(rates.shape, jnp.int32)
         new_freqs_list = []
         for su, freqs in zip(setups, freqs_list):
-            # null-outcome column zeroed via .at[..., -1].set — matches the
-            # *_multi ll_mask multiply exactly (masked entries are exactly
-            # 0.0) without storing a full-size mask array
+            s, o = su["num_samples"], su["num_outcomes"]
+            ch = rates.shape[0]
+            log_r_f = jnp.broadcast_to(
+                log_r[:, :, None], (ch, s, o)
+            ).reshape(ch, s * o)
+            rates_f = jnp.broadcast_to(
+                rates[:, :, None], (ch, s, o)
+            ).reshape(ch, s * o)
+            # null-outcome entries zeroed via the flat mask — matches the
+            # *_multi ll_mask multiply exactly (masked entries exactly 0.0)
             noise_part = (
-                su["a"] * log_r[None, None, :, :, None]
-                - su["b"] * rates[None, None, :, :, None]
+                su["a"] * log_r_f[None, None]
+                - su["b"] * rates_f[None, None]
                 - su["c0"]
             )
-            noise_part = noise_part.at[..., -1].set(0.0)
+            noise_part = jnp.where(su["null_mask"], 0.0, noise_part)
             ll = su["llg"] + noise_part
             new_freqs, o_sel = _stacked_class_step(su, freqs, t, ll)
             # o_sel: [B, C, ch, S]
-            a_sel = _select_outcome(su["a"], o_sel)
-            b_sel = _select_outcome(su["b"], o_sel)
+            bb, cc = su["a"].shape[:2]
+            a_so = su["a"].reshape(bb, cc, ch, s, o)
+            b_so = su["b"].reshape(bb, cc, ch, s, o)
+            a_sel = _select_outcome(a_so, o_sel)
+            b_sel = _select_outcome(b_so, o_sel)
             # int32: exact, order-independent (see noise_chain)
             count_sum = count_sum + jnp.sum(
                 (a_sel * su["cv"][:, :, None, None]).astype(jnp.int32),
@@ -1865,19 +1932,29 @@ def joint_chains_stacked(base_key, sbuckets, tables, init_rates, noise_prior,
         new_freqs_list, new_tally_list = [], []
         collect = (t >= cfgs[0].burn_in).astype(jnp.int32)
         for su, freqs, tally in zip(setups, freqs_list, tally_list):
-            # null-outcome column zeroed via .at[..., -1].set — matches the
-            # *_multi ll_mask multiply exactly (masked entries are exactly
-            # 0.0) without storing a full-size mask array
+            s, o = su["num_samples"], su["num_outcomes"]
+            ch = rates.shape[0]
+            log_r_f = jnp.broadcast_to(
+                log_r[:, :, None], (ch, s, o)
+            ).reshape(ch, s * o)
+            rates_f = jnp.broadcast_to(
+                rates[:, :, None], (ch, s, o)
+            ).reshape(ch, s * o)
+            # null-outcome entries zeroed via the flat mask — matches the
+            # *_multi ll_mask multiply exactly (masked entries exactly 0.0)
             noise_part = (
-                su["a"] * log_r[None, None, :, :, None]
-                - su["b"] * rates[None, None, :, :, None]
+                su["a"] * log_r_f[None, None]
+                - su["b"] * rates_f[None, None]
                 - su["c0"]
             )
-            noise_part = noise_part.at[..., -1].set(0.0)
+            noise_part = jnp.where(su["null_mask"], 0.0, noise_part)
             ll = su["llg"] + noise_part
             new_freqs, o_sel = _stacked_class_step(su, freqs, t, ll)
-            a_sel = _select_outcome(su["a"], o_sel)
-            b_sel = _select_outcome(su["b"], o_sel)
+            bb, cc = su["a"].shape[:2]
+            a_so = su["a"].reshape(bb, cc, ch, s, o)
+            b_so = su["b"].reshape(bb, cc, ch, s, o)
+            a_sel = _select_outcome(a_so, o_sel)
+            b_sel = _select_outcome(b_so, o_sel)
             count_sum = count_sum + jnp.sum(
                 (a_sel * su["cv"][:, :, None, None]).astype(jnp.int32),
                 axis=(0, 1),
@@ -1887,9 +1964,8 @@ def joint_chains_stacked(base_key, sbuckets, tables, init_rates, noise_prior,
                 axis=(0, 1),
             )
             onehot = (
-                jnp.arange(su["num_outcomes"], dtype=jnp.int32)
-                == o_sel[..., None]
-            ).astype(jnp.int32)
+                jnp.arange(o, dtype=jnp.int32) == o_sel[..., None]
+            ).astype(jnp.int32).reshape(bb, cc, ch, s * o)
             new_tally_list.append(tally + collect * onehot)
             new_freqs_list.append(new_freqs)
 
@@ -1913,8 +1989,7 @@ def joint_chains_stacked(base_key, sbuckets, tables, init_rates, noise_prior,
     tally0 = tuple(
         jnp.zeros(
             su["sbucket"].mult.shape[:2]
-            + (num_chains, su["sbucket"].counts.shape[3],
-               su["num_outcomes"]),
+            + (num_chains, su["num_samples"] * su["num_outcomes"]),
             jnp.int32,
         )
         for su in setups
@@ -1924,6 +1999,11 @@ def joint_chains_stacked(base_key, sbuckets, tables, init_rates, noise_prior,
         step, (freqs0_list, init_rates, tally0),
         jnp.arange(num_iters, dtype=jnp.int32),
         unroll=SCAN_UNROLL,
+    )
+    tallies = tuple(
+        t.reshape(t.shape[0], t.shape[1], num_chains,
+                  su["num_samples"], su["num_outcomes"])
+        for t, su in zip(tallies, setups)
     )
     return tallies, tuple(su["w"] for su in setups), jnp.transpose(
         trace, (1, 0, 2)

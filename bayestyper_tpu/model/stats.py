@@ -37,6 +37,10 @@ from .gibbs import OutcomeSpace
 # float tolerance semantics of Utils::floatCompare / floatLess (Utils.hpp:81-103)
 _FLOAT_EPS100 = np.float32(np.finfo(np.float32).eps * 100)
 
+# outcome-space size above which the per-allele NAK/FAK reductions use the
+# fused [ch*S, O] x [O, A] matmul formulation (see collect_bucket_stats)
+_STATS_FUSE_MIN_O = 64
+
 
 def float_compare(a, b):
     m = jnp.abs(jnp.minimum(a, b))
@@ -299,36 +303,81 @@ def collect_bucket_stats(
         a_valid = valid_s[:, :, None]                             # [C, S, 1]
         b_valid = (is_dip_s & valid_s)[:, :, None]
 
-        def allele_sums(a_idx):
-            ma = (al_a == a_idx)[:, None, :] & a_valid            # [C, S, O]
-            mb = (al_b == a_idx)[:, None, :] & b_valid
-            maf = ma.astype(jnp.float32)
-            mbf = mb.astype(jnp.float32)
-            ones = jnp.ones_like(n_at_a)
-            calls = jnp.einsum("chso,cso,cho->cs", tally_f, maf, ones) + \
-                jnp.einsum("chso,cso,cho->cs", tally_f, mbf, ones)
-            nak_num = jnp.einsum("chso,cso,cho->cs", tally_f, maf, n_at_a) + \
-                jnp.einsum("chso,cso,cho->cs", tally_f, mbf, n_at_b)
-            n_pos_a = (n_at_a > 0).astype(jnp.float32)
-            n_pos_b = (n_at_b > 0).astype(jnp.float32)
-            fak_den = jnp.einsum("chso,cso,cho->cs", tally_f, maf, n_pos_a) + \
-                jnp.einsum("chso,cso,cho->cs", tally_f, mbf, n_pos_b)
-            fr_frac_a = fr_at_a / jnp.maximum(n_at_a, 1.0)[:, :, None, :]
-            fr_frac_b = fr_at_b / jnp.maximum(n_at_b, 1.0)[:, :, None, :]
-            fak_num = jnp.einsum(
-                "chso,cso,cho,chso->cs", tally_f, maf, n_pos_a, fr_frac_a
-            ) + jnp.einsum(
-                "chso,cso,cho,chso->cs", tally_f, mbf, n_pos_b, fr_frac_b
-            )
-            return calls, nak_num, fak_den, fak_num
+        n_pos_a = (n_at_a > 0).astype(jnp.float32)
+        n_pos_b = (n_at_b > 0).astype(jnp.float32)
+        fr_frac_a = fr_at_a / jnp.maximum(n_at_a, 1.0)[:, :, None, :]
+        fr_frac_b = fr_at_b / jnp.maximum(n_at_b, 1.0)[:, :, None, :]
 
-        calls, nak_num, fak_den, fak_num = jax.vmap(allele_sums, out_axes=1)(
-            jnp.arange(a_cap)
-        )  # each [C, A, S] -> transpose
-        calls = calls.transpose(0, 2, 1)      # [C, S, A]
-        nak_num = nak_num.transpose(0, 2, 1)
-        fak_den = fak_den.transpose(0, 2, 1)
-        fak_num = fak_num.transpose(0, 2, 1)
+        if o > _STATS_FUSE_MIN_O:
+            # large outcome spaces: ONE batched [ch*S, O] x [O, A] matmul
+            # per statistic instead of A separate [C,ch,S,O] reductions —
+            # the A-fold redundancy made the H16/H64 stats pass the
+            # dominant device cost of a 150k-variant unit. Small-O classes
+            # keep the original loop so their summation order (and the
+            # byte-pinned goldens) are untouched; these large classes'
+            # sums differ only in f32 reduction order.
+            ar = jnp.arange(a_cap)
+            ma_oh = (al_a[:, :, None] == ar).astype(jnp.float32)  # [C, O, A]
+            mb_oh = (al_b[:, :, None] == ar).astype(jnp.float32)
+
+            def _contract(wa, wb):
+                ra = jnp.einsum(
+                    "chso,coa->csa", wa, ma_oh,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                rb = jnp.einsum(
+                    "chso,coa->csa", wb, mb_oh,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return (
+                    ra * valid_s.astype(jnp.float32)[:, :, None]
+                    + rb * (is_dip_s & valid_s).astype(jnp.float32)[:, :, None]
+                )
+
+            calls = _contract(tally_f, tally_f)
+            nak_num = _contract(
+                tally_f * n_at_a[:, :, None, :],
+                tally_f * n_at_b[:, :, None, :],
+            )
+            fak_den = _contract(
+                tally_f * n_pos_a[:, :, None, :],
+                tally_f * n_pos_b[:, :, None, :],
+            )
+            fak_num = _contract(
+                tally_f * n_pos_a[:, :, None, :] * fr_frac_a,
+                tally_f * n_pos_b[:, :, None, :] * fr_frac_b,
+            )
+        else:
+            def allele_sums(a_idx):
+                ma = (al_a == a_idx)[:, None, :] & a_valid        # [C, S, O]
+                mb = (al_b == a_idx)[:, None, :] & b_valid
+                maf = ma.astype(jnp.float32)
+                mbf = mb.astype(jnp.float32)
+                ones = jnp.ones_like(n_at_a)
+                calls = jnp.einsum("chso,cso,cho->cs", tally_f, maf, ones) + \
+                    jnp.einsum("chso,cso,cho->cs", tally_f, mbf, ones)
+                nak_num = jnp.einsum(
+                    "chso,cso,cho->cs", tally_f, maf, n_at_a
+                ) + jnp.einsum("chso,cso,cho->cs", tally_f, mbf, n_at_b)
+                fak_den = jnp.einsum(
+                    "chso,cso,cho->cs", tally_f, maf, n_pos_a
+                ) + jnp.einsum("chso,cso,cho->cs", tally_f, mbf, n_pos_b)
+                fak_num = jnp.einsum(
+                    "chso,cso,cho,chso->cs", tally_f, maf, n_pos_a, fr_frac_a
+                ) + jnp.einsum(
+                    "chso,cso,cho,chso->cs", tally_f, mbf, n_pos_b, fr_frac_b
+                )
+                return calls, nak_num, fak_den, fak_num
+
+            calls, nak_num, fak_den, fak_num = jax.vmap(
+                allele_sums, out_axes=1
+            )(jnp.arange(a_cap))  # each [C, A, S] -> transpose
+            calls = calls.transpose(0, 2, 1)      # [C, S, A]
+            nak_num = nak_num.transpose(0, 2, 1)
+            fak_den = fak_den.transpose(0, 2, 1)
+            fak_num = fak_num.transpose(0, 2, 1)
 
         nak = nak_num / jnp.maximum(calls, 1.0)
         fak = jnp.where(fak_den > 0, fak_num / jnp.maximum(fak_den, 1.0), -1.0)
