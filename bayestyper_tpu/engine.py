@@ -1729,7 +1729,9 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     from .model.gibbs import (
         make_outcome_space,
     )
-    from .model.stats import FilterConfig, collect_bucket_stats
+    from .model.stats import (
+        FilterConfig, collect_bucket_stats, collect_bucket_stats_stacked,
+    )
     from .ops.distributions import np_build_count_log_prob_tables
 
     opts = opts or GenotypeOptions()
@@ -1816,7 +1818,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     emitter = _AsyncEmitter(writer, samples, ploidy_model)
 
     from .model.gibbs import genotype_stacked
-    from .model.buckets import slice_bucket, stack_buckets, zero_bucket_like
+    from .model.buckets import stack_buckets, zero_bucket_like
 
     # per-class stacked groups: each group is ONE dispatch of one compiled
     # scan body (genotype_stacked), chunks stacked on the leading axis and
@@ -1846,16 +1848,16 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             t2 = time.perf_counter()
             tallies, ws = genotype_stacked(key, sb, tables, outcomes, pc.cfg)
             t3 = time.perf_counter()
-            for b, chunk in enumerate(group):
-                stats = collect_bucket_stats(
-                    slice_bucket(sb, b), outcomes, tallies[b], ws[b],
-                    filters, allele_capacity=pc.a,
-                    mac_top_t=_mac_top_t(outcomes),
-                )
-                emitter.emit(chunk, stats)
-                num_genotyped += sum(len(fc.variants) for fc in chunk)
+            stats = collect_bucket_stats_stacked(
+                sb, outcomes, tallies, ws, filters,
+                allele_capacity=pc.a, mac_top_t=_mac_top_t(outcomes),
+            )
+            emitter.emit_group(group, stats)
+            num_genotyped += sum(
+                len(fc.variants) for chunk in group for fc in chunk
+            )
             t4 = time.perf_counter()
-            emitter.throttle(8)
+            emitter.throttle(2)
             t5 = time.perf_counter()
             t_build += t1 - t0
             t_stack += t2 - t1
@@ -2159,6 +2161,29 @@ class _AsyncEmitter:
         self.futures.append(self.pool.submit(
             self._job, chunk, stats,
         ))
+
+    def emit_group(self, group, stats_stacked):
+        """Stacked-group emit: ONE stats fetch for the whole group, then
+        per-chunk host-side slicing + rendering on the worker."""
+        self.futures.append(self.pool.submit(
+            self._group_job, group, stats_stacked,
+        ))
+
+    def _group_job(self, group, stats_stacked):
+        import dataclasses as _dc
+
+        t0 = time.perf_counter()
+        host = _fetch_stats(stats_stacked)
+        t1 = time.perf_counter()
+        for b, chunk in enumerate(group):
+            stats_b = type(host)(**{
+                f.name: getattr(host, f.name)[b]
+                for f in _dc.fields(host)
+            })
+            _emit_records_host(self.writer, chunk, stats_b, self.samples,
+                               self.ploidy_model)
+        self.t_fetch += t1 - t0
+        self.t_render += time.perf_counter() - t1
 
     def _job(self, chunk, stats):
         t0 = time.perf_counter()

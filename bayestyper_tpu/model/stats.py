@@ -107,7 +107,47 @@ class FilterConfig:
 @functools.partial(
     jax.jit, static_argnames=("outcomes", "filters", "allele_capacity", "mac_top_t")
 )
+def collect_bucket_stats_stacked(
+    sbucket,
+    outcomes: OutcomeSpace,
+    tallies,
+    ws,
+    filters: FilterConfig,
+    allele_capacity: int = 8,
+    mac_top_t: int = 8,
+) -> BucketStats:
+    """collect_bucket_stats vmapped over a [B]-stacked group: one compiled
+    program and ONE device->host stats fetch per stacked group instead of
+    per chunk (the per-chunk fetch round-trips dominated the genotype
+    phase's tail once the scans were fixed). Returns BucketStats with a
+    leading chunk axis."""
+    return jax.vmap(
+        lambda b, t, w: _collect_bucket_stats_impl(
+            b, outcomes, t, w, filters, allele_capacity, mac_top_t, None
+        )
+    )(sbucket, tallies, ws)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("outcomes", "filters", "allele_capacity", "mac_top_t")
+)
 def collect_bucket_stats(
+    bucket: ClusterBucket,
+    outcomes: OutcomeSpace,
+    tally,
+    w,
+    filters: FilterConfig,
+    allele_capacity: int = 8,
+    mac_top_t: int = 8,
+    missing_stats=None,
+) -> BucketStats:
+    return _collect_bucket_stats_impl(
+        bucket, outcomes, tally, w, filters, allele_capacity, mac_top_t,
+        missing_stats,
+    )
+
+
+def _collect_bucket_stats_impl(
     bucket: ClusterBucket,
     outcomes: OutcomeSpace,
     tally,
