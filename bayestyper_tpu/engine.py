@@ -452,11 +452,21 @@ def _run_cluster_phase_impl(
             grp_of_cluster[i] = grp_keys.setdefault(gk, len(grp_keys))
         grp_of_entry = np.repeat(grp_of_cluster, lens)
         n_rows = len(u_hi)
-        row_gmin = np.full(n_rows, np.iinfo(np.int64).max)
-        row_gmax = np.full(n_rows, -1, np.int64)
-        np.minimum.at(row_gmin, midx_all, grp_of_entry)
-        np.maximum.at(row_gmax, midx_all, grp_of_entry)
-        row_multi_group = row_gmin != row_gmax
+        # only multi-occurrence rows can span groups — restrict the
+        # unbuffered min/max scatters to those entries (ufunc.at runs
+        # ~50 M/s; the full 20M-entry pass cost seconds at unit scale)
+        row_multi_group = np.zeros(n_rows, bool)
+        mi_entries = np.flatnonzero(ex_multi_all)
+        if len(mi_entries):
+            sub_rows = midx_all[mi_entries]
+            sub_grp = grp_of_entry[mi_entries]
+            row_gmin = np.full(n_rows, np.iinfo(np.int64).max)
+            row_gmax = np.full(n_rows, -1, np.int64)
+            np.minimum.at(row_gmin, sub_rows, sub_grp)
+            np.maximum.at(row_gmax, sub_rows, sub_grp)
+            row_multi_group[sub_rows] = (
+                row_gmin[sub_rows] != row_gmax[sub_rows]
+            )
         ex_across_all = ex_multi_all & row_multi_group[midx_all]
         shared_entry = ex_multi_all & ~row_multi_group[midx_all]
 
@@ -484,8 +494,10 @@ def _run_cluster_phase_impl(
             else c.mult.max(axis=1, initial=0)
             for c in compiled
         ])
-        row_mult_sum = np.zeros(n_rows, np.int64)
-        np.add.at(row_mult_sum, midx_all, mult_max_all.astype(np.int64))
+        row_mult_sum = np.bincount(
+            midx_all, weights=mult_max_all.astype(np.float64),
+            minlength=n_rows,
+        ).astype(np.int64)
         # all-path union rows are exactly (u_hi, u_lo), already sorted —
         # build the table without re-sorting
         all_path_union = LaneTable.__new__(LaneTable)
@@ -1618,7 +1630,10 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     # across clusters within a chain), so split them into groups that keep
     # the resident precompute under the budget. Per-chain keys are
     # chain0-based, so the grouping is bit-exact vs one program.
-    budget = int(os.environ.get("BT_NOISE_BUDGET", 4 << 30))
+    # 5 GB admits 10-chain groups at the 100k-variant noise batch —
+    # measured safe on the axon worker (1M cluster-chains, rates
+    # bit-identical to the 4x5-chain split) and ~15 s faster
+    budget = int(os.environ.get("BT_NOISE_BUDGET", 5 << 30))
     chain_step = max(1, min(opts.num_chains,
                             budget // max(per_chain_bytes, 1)))
     # pick a divisor of num_chains so every group shares one compiled shape
