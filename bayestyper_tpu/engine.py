@@ -1611,8 +1611,10 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
         outcomes = make_outcome_space(pc.h)
         outcomes_list.append(outcomes)
         cfgs.append(pc.cfg)
+        # scan-resident per-chain state: llg f32 + a f32 + b u16 (c0 is
+        # folded into llg, gibbs._noise_setup_stacked) = 10 bytes/element
         per_chain_bytes += (
-            len(sel) * pc.c_pad * len(samples) * outcomes.num_outcomes * 16
+            len(sel) * pc.c_pad * len(samples) * outcomes.num_outcomes * 10
         )
     _log(f"Estimating noise from {num_vars} variants in {len(sbuckets)} "
          f"size classes ({sum(len(v) for v in selected.values())} chunks)")
@@ -1625,15 +1627,15 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
             jax.random.fold_in(k77, ci), shape, (len(samples),)
         )
     )(jnp.arange(opts.num_chains, dtype=jnp.uint32)) * scale  # [ch, S]
-    # HBM guard: the resident llg/a/b/c0 tensors scale with chains; chains
+    # HBM guard: the resident llg/a/b tensors scale with chains; chains
     # are INDEPENDENT (each carries its own rate trajectory; pooling is
     # across clusters within a chain), so split them into groups that keep
     # the resident precompute under the budget. Per-chain keys are
-    # chain0-based, so the grouping is bit-exact vs one program.
-    # 5 GB admits 10-chain groups at the 100k-variant noise batch —
-    # measured safe on the axon worker (1M cluster-chains, rates
-    # bit-identical to the 4x5-chain split) and ~15 s faster
-    budget = int(os.environ.get("BT_NOISE_BUDGET", 5 << 30))
+    # chain0-based, so the grouping is bit-exact for ANY grouping.
+    # At 10 bytes/element (c0 folded, b u16) the default budget admits all
+    # 20 chains in ONE program at the 100k-variant noise batch, halving the
+    # chunk precompute the 2x10 split paid twice.
+    budget = int(os.environ.get("BT_NOISE_BUDGET", 10 << 30))
     chain_step = max(1, min(opts.num_chains,
                             budget // max(per_chain_bytes, 1)))
     # pick a divisor of num_chains so every group shares one compiled shape
@@ -1642,19 +1644,41 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     if chain_step < opts.num_chains:
         _log(f"Noise chains split into groups of {chain_step} "
              f"({per_chain_bytes >> 20} MB resident per chain)")
+    # graceful degradation at the crash envelope (matching the reference's
+    # restartable-unit posture, main.cpp:258-262): a dead worker / OOM on a
+    # group dispatch triggers an automatic retry with a halved chain group
+    # instead of killing the run. Results are bit-identical under any
+    # grouping. BT_NOISE_FAIL_ABOVE=<n> injects a failure for groups wider
+    # than n chains (the failure-injection test hook).
+    fail_above = int(os.environ.get("BT_NOISE_FAIL_ABOVE", "0"))
     rs_parts, tr_parts = [], []
-    for c0 in range(0, opts.num_chains, chain_step):
-        rs, tr = noise_chains_stacked(
-            key, tuple(sbuckets), tuple(valids), tables,
-            init_rates[c0 : c0 + chain_step], (shape, scale),
-            tuple(outcomes_list), tuple(cfgs),
-            num_chains=chain_step, chain0=jnp.uint32(c0),
-        )
-        # fetch per group: dispatching the next group while this one runs
-        # would hold BOTH groups' resident precompute in HBM at once (the
-        # whole point of the split is bounding that residency)
-        rs_parts.append(jax.device_get(rs))
-        tr_parts.append(jax.device_get(tr))
+    c0 = 0
+    while c0 < opts.num_chains:
+        step_i = min(chain_step, opts.num_chains - c0)
+        try:
+            if fail_above and step_i > fail_above:
+                raise RuntimeError(
+                    f"injected noise-group failure at {step_i} chains"
+                )
+            rs, tr = noise_chains_stacked(
+                key, tuple(sbuckets), tuple(valids), tables,
+                init_rates[c0 : c0 + step_i], (shape, scale),
+                tuple(outcomes_list), tuple(cfgs),
+                num_chains=step_i, chain0=jnp.uint32(c0),
+            )
+            # fetch per group: dispatching the next group while this one
+            # runs would hold BOTH groups' resident precompute in HBM at
+            # once (the whole point of the split is bounding residency)
+            rs_parts.append(jax.device_get(rs))
+            tr_parts.append(jax.device_get(tr))
+        except Exception as e:
+            if chain_step <= 1:
+                raise
+            chain_step = max(1, chain_step // 2)
+            _log(f"Noise group of {step_i} chains failed ({e}); "
+                 f"degrading to {chain_step}-chain groups and retrying")
+            continue
+        c0 += step_i
     rate_sums = np.concatenate(rs_parts, axis=0)
     chain_traces = np.concatenate(tr_parts, axis=0)
     inits = jax.device_get(init_rates)
@@ -1784,12 +1808,13 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     class_map = _class_map(singles)
     plan = _plan_unit(singles, class_map, opts, samples, mesh)
 
-    with _Profiler():
-        noise_rates, noise_traces = estimate_noise(
-            unit, samples, table, counts, ploidy_model, nb_params, opts,
-            ucounts=ucounts, genomic_tables=genomic64,
-            bucket_cache=bucket_cache, class_map=class_map, plan=plan,
-        )
+    profiler = _Profiler()
+    profiler.__enter__()   # spans noise + waves + nested (BT_PROFILE_DIR)
+    noise_rates, noise_traces = estimate_noise(
+        unit, samples, table, counts, ploidy_model, nb_params, opts,
+        ucounts=ucounts, genomic_tables=genomic64,
+        bucket_cache=bucket_cache, class_map=class_map, plan=plan,
+    )
     _log_rss("noise estimation")
     write_noise_parameters(prefix, samples, noise_traces, noise_rates)
 
@@ -1834,6 +1859,12 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
 
     from .model.gibbs import genotype_stacked
     from .model.buckets import stack_buckets, zero_bucket_like
+    from .model.stats import collect_bucket_stats_packed_stacked
+
+    # packed fetch needs the summed tallies to fit u16 (they do at the
+    # production 20 chains x 250 samples = 5000; a custom config beyond
+    # 2^15 total falls back to the f32 fetch)
+    use_packed = opts.num_chains * opts.num_samples * 2 < 65536
 
     # per-class stacked groups: each group is ONE dispatch of one compiled
     # scan body (genotype_stacked), chunks stacked on the leading axis and
@@ -1863,11 +1894,18 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             t2 = time.perf_counter()
             tallies, ws = genotype_stacked(key, sb, tables, outcomes, pc.cfg)
             t3 = time.perf_counter()
-            stats = collect_bucket_stats_stacked(
-                sb, outcomes, tallies, ws, filters,
-                allele_capacity=pc.a, mac_top_t=_mac_top_t(outcomes),
-            )
-            emitter.emit_group(group, stats)
+            if use_packed:
+                stats = collect_bucket_stats_packed_stacked(
+                    sb, outcomes, tallies, ws, filters,
+                    allele_capacity=pc.a, mac_top_t=_mac_top_t(outcomes),
+                )
+                emitter.emit_group_packed(group, stats, meta=key_cls)
+            else:
+                stats = collect_bucket_stats_stacked(
+                    sb, outcomes, tallies, ws, filters,
+                    allele_capacity=pc.a, mac_top_t=_mac_top_t(outcomes),
+                )
+                emitter.emit_group(group, stats)
             num_genotyped += sum(
                 len(fc.variants) for chunk in group for fc in chunk
             )
@@ -1882,9 +1920,16 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             _log(f"Genotyped {num_genotyped} variants")
     _log(f"[wave loop] build {t_build:.1f}s stack+upload {t_stack:.1f}s "
          f"dispatch {t_disp:.1f}s stats-dispatch {t_stats:.1f}s "
-         f"throttle-wait {t_throttle:.1f}s; emitter fetch "
-         f"{emitter.t_fetch:.1f}s render {emitter.t_render:.1f}s")
+         f"throttle-wait {t_throttle:.1f}s; emitter dev-wait "
+         f"{emitter.t_devwait:.1f}s fetch {emitter.t_fetch:.1f}s "
+         f"render {emitter.t_render:.1f}s")
 
+    failed = emitter.take_failures()
+    if failed:
+        _retry_failed_groups(
+            failed, plan, bucket_cache, samples, ploidy_model, ucounts,
+            seed, tables, filters, key, emitter, mesh,
+        )
     emitter.close()
     bucket_cache.clear()
     if nested:
@@ -1893,6 +1938,7 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
             filters, writer, opts, rng, key,
         )
         _log(f"Genotyped {num_genotyped} variants")
+    profiler.__exit__()
 
     n = writer.finalise()
     _log_rss("genotyping")
@@ -1903,6 +1949,57 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
         "nb_mean": nb_params.mean,
         "nb_var": nb_params.var,
     }
+
+
+def _retry_failed_groups(failed, plan, bucket_cache, samples, ploidy_model,
+                         ucounts, seed, tables, filters, key, emitter, mesh):
+    """Re-run stacked genotype groups whose emit failed (dead worker / OOM)
+    at HALVED stack depth, recursively down to single chunks — the graceful
+    degradation path for the crash envelope (BENCH_PROFILE_r04; the
+    reference's analogue is its restartable-unit posture, main.cpp:258-262).
+    Per-cluster streams are cluster-keyed, so results are bit-identical for
+    any B split. Groups are processed synchronously (the failure already
+    stalled the pipeline; correctness over overlap here)."""
+    from .model.buckets import stack_buckets, zero_bucket_like
+    from .model.gibbs import genotype_stacked, make_outcome_space
+    from .model.stats import collect_bucket_stats_packed_stacked
+
+    queue = list(failed)
+    while queue:
+        key_cls, group, exc = queue.pop(0)
+        if len(group) <= 1:
+            raise RuntimeError(
+                f"stacked group irrecoverable at B=1: {exc}"
+            ) from exc
+        mid = (len(group) + 1) // 2
+        _log(f"Retrying failed stacked group (B={len(group)}, {exc}) as "
+             f"two B<={mid} halves")
+        pc = plan[key_cls]
+        outcomes = make_outcome_space(pc.h)
+        for half in (group[:mid], group[mid:]):
+            bs = [
+                _bucket_cached(
+                    bucket_cache, chunk, (pc.c_pad, pc.k, pc.h, pc.v),
+                    samples, ploidy_model, ucounts, seed, store=False,
+                )
+                for chunk in half
+            ]
+            b_pad = _pow2_at_least(len(bs), 1)
+            while len(bs) < b_pad:
+                bs.append(zero_bucket_like(bs[0]))
+            sb = stack_buckets(bs)
+            del bs
+            if mesh is not None:
+                sb = _shard_stacked_for_mesh(sb, mesh)
+            tallies, ws = genotype_stacked(key, sb, tables, outcomes, pc.cfg)
+            stats = collect_bucket_stats_packed_stacked(
+                sb, outcomes, tallies, ws, filters,
+                allele_capacity=pc.a, mac_top_t=_mac_top_t(outcomes),
+            )
+            try:
+                emitter._group_packed_job(half, stats)
+            except Exception as e:  # noqa: BLE001 — halve again
+                queue.append((key_cls, half, e))
 
 
 def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
@@ -2050,10 +2147,11 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
             sh_valid=jnp.asarray(sh_valid), sh_mask=jnp.asarray(sh_mask),
         ))
 
-    tallies, ws = genotype_nested(
+    tallies, ws, mac_extras = genotype_nested(
         key, tuple(buckets), tuple(parent_levels), tuple(parent_rows),
         tuple(retain_tables), tuple(shared_infos), tables,
         tuple(outcomes_list), tuple(cfgs), num_pool=num_pool,
+        acaps=tuple(caps_a),
     )
 
     num = 0
@@ -2063,10 +2161,18 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
             fcs, stats_by_level, row_of, by_id, buckets[l].num_clusters,
             len(samples),
         )
+        # shared-k-mer levels carry the in-scan MAC sibling correction and
+        # need the exact (T = O) outcome enumeration so the correction's
+        # tally weights line up with the static MAC sum
+        mac_t = (
+            outcomes_list[l].num_outcomes
+            if mac_extras[l] is not None
+            else _mac_top_t(outcomes_list[l])
+        )
         stats = collect_bucket_stats(
             buckets[l], outcomes_list[l], tallies[l], ws[l], filters,
-            allele_capacity=caps_a[l], mac_top_t=_mac_top_t(outcomes_list[l]),
-            missing_stats=missing_stats,
+            allele_capacity=caps_a[l], mac_top_t=mac_t,
+            missing_stats=missing_stats, mac_extra=mac_extras[l],
         )
         stats = _fetch_stats(stats)
         stats_by_level.append(stats)
@@ -2125,6 +2231,36 @@ def _nested_missing_stats(fcs, stats_by_level, row_of, by_id, c_pad,
     return (jnp.asarray(nak_m), jnp.asarray(fak_m), jnp.asarray(mac_m))
 
 
+def _fetch_packed_stats(packed, n_real: int):
+    """ONE device->host transfer of a PackedBucketStats group.
+
+    Slices the stacked leading axis to the real (non-padding) chunks,
+    bitcasts every leaf to uint8 and concatenates into a single byte buffer
+    (one tunnel round trip at the packed byte count — the ~12 MB/s axon
+    down-tunnel made the f32 stats fetch the genotype-wave wall,
+    BENCH_PROFILE_r04), then splits it host-side. XLA bitcast-convert to a
+    narrower type appends a least-significant-first minor dimension, which
+    matches numpy's little-endian view on the host."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(packed)
+    sliced = [l[:n_real] for l in leaves]
+    flat = jnp.concatenate([
+        jax.lax.bitcast_convert_type(l, jnp.uint8).reshape(-1)
+        for l in sliced
+    ])
+    host = np.asarray(flat)
+    out = []
+    off = 0
+    for l in sliced:
+        dt = np.dtype(l.dtype)
+        n = int(np.prod(l.shape)) * dt.itemsize
+        out.append(host[off : off + n].view(dt).reshape(l.shape))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _fetch_stats(stats):
     """One device->host transfer for all stats leaves.
 
@@ -2169,8 +2305,18 @@ class _AsyncEmitter:
         self.ploidy_model = ploidy_model
         self.pool = ThreadPoolExecutor(1)
         self.futures = []
+        self.failed = []    # (meta, group, exception) — see emit_group_packed
         self.t_fetch = 0.0
+        self.t_devwait = 0.0
         self.t_render = 0.0
+
+    def take_failures(self):
+        """Drain pending work and return recorded group failures."""
+        for f in self.futures:
+            f.result()
+        self.futures.clear()
+        failed, self.failed = self.failed, []
+        return failed
 
     def emit(self, chunk, stats):
         self.futures.append(self.pool.submit(
@@ -2183,6 +2329,60 @@ class _AsyncEmitter:
         self.futures.append(self.pool.submit(
             self._group_job, group, stats_stacked,
         ))
+
+    def emit_group_packed(self, group, packed_stats, meta=None):
+        """Stacked-group emit from PackedBucketStats: device-wait, one
+        compact-byte fetch, host unpack (exact u16 tallies -> f32
+        posteriors), then per-chunk rendering. Failures (a dead worker /
+        OOM surfaces at the blocking fetch) are RECORDED, not raised: the
+        wave loop re-runs failed groups at halved stack depth afterwards
+        (graceful degradation at the crash envelope)."""
+        self.futures.append(self.pool.submit(
+            self._safe_group_packed, group, packed_stats, meta,
+        ))
+
+    def _safe_group_packed(self, group, packed, meta):
+        try:
+            self._group_packed_job(group, packed, meta)
+        except Exception as e:  # noqa: BLE001 — recovery point
+            self.failed.append((meta, group, e))
+
+    def _group_packed_job(self, group, packed, meta=None):
+        import dataclasses as _dc
+
+        import jax
+
+        from .model.stats import unpack_stats_host
+
+        fail_above = int(os.environ.get("BT_WAVE_FAIL_ABOVE_B", "0"))
+        if fail_above and len(group) > fail_above:
+            raise RuntimeError(
+                f"injected wave-group failure at B={len(group)}"
+            )
+        t0 = time.perf_counter()
+        jax.block_until_ready(packed)   # device completion, split from xfer
+        t1 = time.perf_counter()
+        host_packed = _fetch_packed_stats(packed, len(group))
+        t2 = time.perf_counter()
+        host = unpack_stats_host(host_packed)
+        for b, chunk in enumerate(group):
+            stats_b = type(host)(**{
+                f.name: getattr(host, f.name)[b]
+                for f in _dc.fields(host)
+            })
+            _emit_records_host(self.writer, chunk, stats_b, self.samples,
+                               self.ploidy_model)
+        self.t_devwait += t1 - t0
+        self.t_fetch += t2 - t1
+        self.t_render += time.perf_counter() - t2
+        if _LOG_TIMING and meta is not None:
+            mb = sum(
+                int(np.prod(l.shape)) * np.dtype(l.dtype).itemsize
+                for l in jax.tree_util.tree_leaves(host_packed)
+            ) / 1e6
+            _log(f"[group {meta} B={len(group)}] dev-wait {t1 - t0:.2f}s "
+                 f"fetch {t2 - t1:.2f}s ({mb:.0f} MB) "
+                 f"render {time.perf_counter() - t2:.2f}s")
 
     def _group_job(self, group, stats_stacked):
         import dataclasses as _dc

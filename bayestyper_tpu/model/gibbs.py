@@ -891,6 +891,11 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
     # the null outcome contributes no likelihood (but its A/B still feed the
     # noise statistics — getNoiseCounts runs for null-ploidy samples too)
     ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
+    # c0 is a per-outcome CONSTANT of the noise log-likelihood — fold it
+    # into llg once (25% less scan-resident state; the per-iteration part
+    # is only a*log(r) - b*r). b is a k-mer count <= K, stored u16.
+    llg = llg - c0 * ll_mask
+    b = b.astype(jnp.uint16)
 
     osp = (
         jnp.asarray(outcomes.oa),
@@ -915,7 +920,8 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
         freqs, rates = carry
         log_r = jnp.log(jnp.maximum(rates, 1e-30))
         ll = llg + (
-            a * log_r[None, :, None] - b * rates[None, :, None] - c0
+            a * log_r[None, :, None]
+            - b.astype(jnp.float32) * rates[None, :, None]
         ) * ll_mask
 
         def per_cluster(ck, f, llc, ploidy, hvc, sp, usp):
@@ -957,11 +963,11 @@ def noise_chain(base_key, bucket: ClusterBucket, tables, init_rates,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("outcomes_list", "cfgs", "num_pool")
+    jax.jit, static_argnames=("outcomes_list", "cfgs", "num_pool", "acaps")
 )
 def genotype_nested(base_key, buckets, parent_levels, parent_rows,
                     retain_tables, shared_infos, tables, outcomes_list, cfgs,
-                    num_pool=0):
+                    num_pool=0, acaps=None):
     """Frozen-noise genotyping of COUPLED cluster groups: nested containment
     families and/or groups sharing multicluster k-mers.
 
@@ -1003,9 +1009,24 @@ def genotype_nested(base_key, buckets, parent_levels, parent_rows,
         bool, sh_mask [C_l, K] bool (True at shared k-mer slots).
       num_pool: static total shared-pool slots (0 = no coupling anywhere).
       tables: [S, M+1, 256] frozen-noise log-pmf tables.
+      acaps: tuple of per-level allele capacities for the MAC correction
+        accumulators (None disables them).
     Returns:
-      (tallies, ws): tuples per level — tally [C, chains, S, O_l] int32 and
-      w [C, chains, K_l] bool.
+      (tallies, ws, mac_extras): tuples per level — tally [C, chains, S,
+      O_l] int32, w [C, chains, K_l] bool, and mac_extras [C, S, V_l, A_l]
+      f32 (chain-summed shared-k-mer MAC numerator corrections; None for
+      levels without shared k-mers or when acaps is None).
+
+    MAC sibling fold: the reference's per-iteration stats cache scores a
+    shared k-mer's count/multiplicity with the SIBLINGS' current sampled
+    contributions in the denominator (updateKmerStatsCache,
+    VariantClusterHaplotypes.cpp:302-333). The static top-T MAC path uses
+    own+intercluster multiplicity only, so for shared k-mers this scan
+    accumulates the exact per-iteration correction
+        (count / (own + inter + siblings)) - (count / (own + inter))
+    tally-weighted per (sample, variant, allele) — added to the static MAC
+    numerator by collect_bucket_stats (which runs with an exact T = O
+    enumeration for these levels so the weights line up).
     """
     num_levels = len(buckets)
     cfg0 = cfgs[0]
@@ -1072,14 +1093,67 @@ def genotype_nested(base_key, buckets, parent_levels, parent_rows,
                 counts=counts_sh, inter=inter_sh, dip=dip_sh,
                 w_sh=w_sh, tcut=tcut, mmax=mmax,
             )
+            if acaps is not None:
+                # MAC sibling-fold precompute (see docstring): member bits
+                # of the shared k-mer rows, per-(chain, variant, hap) w-
+                # weighted k-mer counts (the same n the stats pass uses),
+                # haplotype->allele map with the sentinel slot, and the
+                # outcome->haplotype one-hot tables.
+                from .buckets import unpack_member_bits
+
+                h = bucket.num_haplotypes
+                mem_rows = jnp.take_along_axis(
+                    bucket.member, sh_idx[:, :, None, None], axis=1
+                )                                          # [C, Q, V, W]
+                mem_sh = unpack_member_bits(mem_rows, h)   # [C, Q, V, H]
+                mem_ext = jnp.concatenate(
+                    [mem_sh, jnp.zeros_like(mem_sh[..., :1])], axis=-1
+                ).astype(jnp.bfloat16)                     # [C, Q, V, H+1]
+                member_all = unpack_member_bits(bucket.member, h)
+                n_hv = jnp.einsum(
+                    "cxk,ckm->cxm", w.astype(jnp.float32),
+                    member_all.reshape(
+                        bucket.num_clusters, bucket.num_kmers, -1
+                    ).astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(bucket.num_clusters, num_chains,
+                          bucket.num_variants, h)          # [C, ch, V, H]
+                n_hv_ext = jnp.concatenate(
+                    [n_hv, jnp.zeros_like(n_hv[..., :1])], axis=-1
+                )
+                sentinel = (bucket.num_alleles - 1).astype(jnp.float32)
+                ha_ext = jnp.concatenate(
+                    [bucket.hap_allele.astype(jnp.float32),
+                     sentinel[:, None, :]], axis=1
+                )                                          # [C, H+1, V]
+                oa_np = outcomes.oa
+                ob_np = outcomes.ob
+                hr = np.arange(bucket.num_haplotypes + 1)
+                pre["mac"] = dict(
+                    mem=mem_ext, n_hv=n_hv_ext, ha=ha_ext,
+                    oa_oh=jnp.asarray(
+                        (oa_np[:, None] == hr).astype(np.float32)
+                    ),                                     # [O, H+1]
+                    ob_oh=jnp.asarray(
+                        (ob_np[:, None] == hr).astype(np.float32)
+                    ),
+                    real_oa=jnp.asarray(
+                        (oa_np < bucket.num_haplotypes).astype(np.float32)
+                    ),                                     # [O]
+                    real_ob=jnp.asarray(
+                        (ob_np < bucket.num_haplotypes).astype(np.float32)
+                    ),
+                    a_cap=acaps[l],
+                )
         precomp.append(pre)
 
     def step(carry, t):
-        freqs_list, tally_list, o_stack, pool = carry
+        freqs_list, tally_list, o_stack, pool, mac_list = carry
         # o_stack: [L, c_max, ch, S] current outcome per level (levels not
         # yet sampled this iteration still hold the previous iteration's);
         # pool: [P, ch, S] total shared-kmer contributions at those outcomes
-        new_freqs_list, new_tally_list = [], []
+        new_freqs_list, new_tally_list, new_mac_list = [], [], []
         for l in range(num_levels):
             bucket = buckets[l]
             pre = precomp[l]
@@ -1172,6 +1246,82 @@ def genotype_nested(base_key, buckets, parent_levels, parent_rows,
                 ).astype(jnp.int32)
                 pool = pool + upd
 
+                mac_pre = pre.get("mac")
+                if mac_pre is not None:
+                    # exact shared-k-mer MAC correction at the sampled
+                    # outcome (see docstring): sibling contributions are
+                    # the pool state right after this cluster's update —
+                    # the same state the reference's stats cache sees
+                    # (updateKmerStatsCache, VariantClusterHaplotypes.cpp:
+                    # 302-333).
+                    ext_new = jnp.where(
+                        sh["valid"][:, :, None, None],
+                        pool[sh["slot"]] - own_new, 0,
+                    )                                      # [C, Q, ch, S]
+                    mult_stat = (
+                        own_new + sh["inter"][:, :, None, :]
+                    ).astype(jnp.float32)
+                    counts_f = sh["counts"].astype(
+                        jnp.float32
+                    )[:, :, None, :]                       # [C, Q, 1, S]
+                    val_stat = counts_f / jnp.maximum(mult_stat, 1.0)
+                    val_dyn = counts_f / jnp.maximum(
+                        mult_stat + ext_new.astype(jnp.float32), 1.0
+                    )
+                    dval = (val_dyn - val_stat) * jnp.transpose(
+                        sh["w_sh"].astype(jnp.float32), (0, 2, 1)
+                    )[:, :, :, None]                       # [C, Q, ch, S]
+
+                    def _slot_extra(h_oh, real_o):
+                        hsel = jnp.einsum(
+                            "cxso,oh->cxsh", oh_new,
+                            h_oh.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )                                  # [C, ch, S, H+1]
+                        msel = jnp.einsum(
+                            "cqvh,cxsh->cqxsv", mac_pre["mem"],
+                            hsel.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )                                  # [C, Q, ch, S, V]
+                        dmn = jnp.einsum(
+                            "cqxs,cqxsv->cxsv", dval, msel
+                        )
+                        n_at = jnp.einsum(
+                            "cxvh,cxsh->cxsv", mac_pre["n_hv"], hsel
+                        )
+                        al_at = jnp.einsum(
+                            "chv,cxsh->cxsv", mac_pre["ha"], hsel
+                        )
+                        real = jnp.einsum(
+                            "cxso,o->cxs", oh_new.astype(jnp.float32),
+                            real_o,
+                        )
+                        gate = (n_at > 0).astype(jnp.float32) * real[
+                            ..., None
+                        ]
+                        contrib = dmn / jnp.maximum(n_at, 1.0) * gate
+                        a_oh = (
+                            al_at[..., None]
+                            == jnp.arange(
+                                mac_pre["a_cap"], dtype=jnp.float32
+                            )
+                        ).astype(jnp.float32)              # [C,ch,S,V,A]
+                        return contrib[..., None] * a_oh
+
+                    d_extra = _slot_extra(
+                        mac_pre["oa_oh"], mac_pre["real_oa"]
+                    ) + _slot_extra(mac_pre["ob_oh"], mac_pre["real_ob"])
+                    collect_f = (t >= cfg0.burn_in).astype(jnp.float32)
+                    new_mac_list.append(
+                        mac_list[l] + collect_f * d_extra
+                    )
+                else:
+                    new_mac_list.append(mac_list[l])
+            else:
+                new_mac_list.append(mac_list[l])
+
             pad_c = c_max - c
             o_row = o_sel if pad_c == 0 else jnp.pad(
                 o_sel, ((0, pad_c), (0, 0), (0, 0))
@@ -1186,7 +1336,8 @@ def genotype_nested(base_key, buckets, parent_levels, parent_rows,
             new_tally_list.append(tally_list[l] + collect * onehot)
             new_freqs_list.append(new_freqs)
         return (
-            tuple(new_freqs_list), tuple(new_tally_list), o_stack, pool
+            tuple(new_freqs_list), tuple(new_tally_list), o_stack, pool,
+            tuple(new_mac_list),
         ), None
 
     tally0 = tuple(
@@ -1266,12 +1417,26 @@ def genotype_nested(base_key, buckets, parent_levels, parent_rows,
             precision=jax.lax.Precision.HIGHEST,
         )
     pool0 = pool0.astype(jnp.int32)
-    (_, tallies, _, _), _ = jax.lax.scan(
-        step, (freqs0, tally0, o_stack0, pool0),
+    mac0 = tuple(
+        jnp.zeros(
+            (buckets[l].num_clusters, num_chains, buckets[l].num_samples,
+             buckets[l].num_variants, precomp[l]["mac"]["a_cap"]),
+            jnp.float32,
+        )
+        if "mac" in precomp[l]
+        else jnp.zeros((), jnp.float32)
+        for l in range(num_levels)
+    )
+    (_, tallies, _, _, mac_acc), _ = jax.lax.scan(
+        step, (freqs0, tally0, o_stack0, pool0, mac0),
         jnp.arange(num_iters, dtype=jnp.int32),
         unroll=SCAN_UNROLL,
     )
-    return tallies, tuple(pre["w"] for pre in precomp)
+    mac_extras = tuple(
+        mac_acc[l].sum(axis=1) if "mac" in precomp[l] else None
+        for l in range(num_levels)
+    )
+    return tallies, tuple(pre["w"] for pre in precomp), mac_extras
 
 
 @functools.partial(
@@ -1340,6 +1505,9 @@ def noise_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
         )  # [C, ch, S, O]
         a, b, c0 = compute_noise_terms(bucket, outcomes, w, cfg.has_inter)
         ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
+        # fold the constant c0 into llg; keep b as u16 (see noise_chain)
+        llg = llg - c0 * ll_mask
+        b = b.astype(jnp.uint16)
         osp = (
             jnp.asarray(outcomes.oa),
             jnp.asarray(outcomes.ob),
@@ -1363,7 +1531,7 @@ def noise_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
         )
         cv = bucket.cluster_valid.astype(jnp.float32)
         setups.append(
-            dict(bucket=bucket, llg=llg, a=a, b=b, c0=c0, ll_mask=ll_mask,
+            dict(bucket=bucket, llg=llg, a=a, b=b, ll_mask=ll_mask,
                  osp=osp, cluster_keys=cluster_keys, freqs0=freqs0, cv=cv)
         )
 
@@ -1376,8 +1544,7 @@ def noise_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
         for su, freqs in zip(setups, freqs_list):
             ll = su["llg"] + (
                 su["a"] * log_r[None, :, :, None]
-                - su["b"] * rates[None, :, :, None]
-                - su["c0"]
+                - su["b"].astype(jnp.float32) * rates[None, :, :, None]
             ) * su["ll_mask"]
 
             def per_cc(ck, f, llcc, ploidy, hvc, sp, usp, osp=su["osp"]):
@@ -1500,6 +1667,9 @@ def joint_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
         )  # [C, ch, S, O]
         a, b, c0 = compute_noise_terms(bucket, outcomes, w, cfg.has_inter)
         ll_mask = jnp.ones_like(llg).at[..., -1].set(0.0)
+        # fold the constant c0 into llg; keep b as u16 (see noise_chain)
+        llg = llg - c0 * ll_mask
+        b = b.astype(jnp.uint16)
         osp = (
             jnp.asarray(outcomes.oa),
             jnp.asarray(outcomes.ob),
@@ -1523,7 +1693,7 @@ def joint_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
         )
         cv = bucket.cluster_valid.astype(jnp.float32)
         setups.append(
-            dict(bucket=bucket, w=w, llg=llg, a=a, b=b, c0=c0,
+            dict(bucket=bucket, w=w, llg=llg, a=a, b=b,
                  ll_mask=ll_mask, osp=osp, cluster_keys=cluster_keys,
                  freqs0=freqs0, cv=cv,
                  num_outcomes=outcomes.num_outcomes)
@@ -1539,8 +1709,7 @@ def joint_chains_multi(base_key, buckets, tables, init_rates, noise_prior,
         for su, freqs, tally in zip(setups, freqs_list, tally_list):
             ll = su["llg"] + (
                 su["a"] * log_r[None, :, :, None]
-                - su["b"] * rates[None, :, :, None]
-                - su["c0"]
+                - su["b"].astype(jnp.float32) * rates[None, :, :, None]
             ) * su["ll_mask"]
 
             def per_cc(ck, f, llcc, ploidy, hvc, sp, usp, osp=su["osp"]):
@@ -1750,11 +1919,17 @@ def _noise_setup_stacked(base_key, k_master, sbucket, tables, outcomes, cfg,
     s = sbucket.counts.shape[3]  # stacked layout [B, C, K, S]
     o = outcomes.num_outcomes
     flat = lambda x: x.reshape(bb, cc, num_chains, s * o)
+    null_mask = jnp.arange(s * o) % o == o - 1
+    # fold the constant c0 into llg (identical bits to the *_multi fold:
+    # c0*mask == where(null, 0, c0)); b as u16 — together the scan-resident
+    # per-chain state drops from 16 to 10 bytes/element, which is what lets
+    # all 20 noise chains fit ONE program at the 100k-variant batch
+    llg_f = flat(llg) - jnp.where(null_mask, 0.0, flat(c0))
     return dict(
-        sbucket=sbucket, w=w, llg=flat(llg), a=flat(a), b=flat(b_),
-        c0=flat(c0), cluster_keys=cluster_keys, freqs0=freqs0,
-        osp=_osp_arrays(outcomes), num_outcomes=o, num_samples=s,
-        null_mask=jnp.arange(s * o) % o == o - 1,
+        sbucket=sbucket, w=w, llg=llg_f, a=flat(a),
+        b=flat(b_).astype(jnp.uint16), cluster_keys=cluster_keys,
+        freqs0=freqs0, osp=_osp_arrays(outcomes), num_outcomes=o,
+        num_samples=s, null_mask=null_mask,
     )
 
 
@@ -1840,8 +2015,7 @@ def noise_chains_stacked(base_key, sbuckets, noise_valids, tables, init_rates,
             # *_multi ll_mask multiply exactly (masked entries exactly 0.0)
             noise_part = (
                 su["a"] * log_r_f[None, None]
-                - su["b"] * rates_f[None, None]
-                - su["c0"]
+                - su["b"].astype(jnp.float32) * rates_f[None, None]
             )
             noise_part = jnp.where(su["null_mask"], 0.0, noise_part)
             ll = su["llg"] + noise_part
@@ -1944,8 +2118,7 @@ def joint_chains_stacked(base_key, sbuckets, tables, init_rates, noise_prior,
             # *_multi ll_mask multiply exactly (masked entries exactly 0.0)
             noise_part = (
                 su["a"] * log_r_f[None, None]
-                - su["b"] * rates_f[None, None]
-                - su["c0"]
+                - su["b"].astype(jnp.float32) * rates_f[None, None]
             )
             noise_part = jnp.where(su["null_mask"], 0.0, noise_part)
             ll = su["llg"] + noise_part

@@ -83,6 +83,65 @@ class BucketStats:
     mac: jnp.ndarray        # [C, S, V, A] mean allele kmer count (-1 if n/a)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedBucketStats:
+    """Transfer-compact form of BucketStats for the device->host fetch.
+
+    The axon down-tunnel runs ~12 MB/s, so the per-group stats fetch was the
+    genotype wave wall (BENCH_PROFILE_r04: 78-93 s). This packs the exact
+    integer tallies (u16 — the posteriors gpp/app and GQ are DERIVED on the
+    host with the identical f32 arithmetic, so GT/GPP/GQ stay bit-exact) and
+    the three diagnostic k-mer stats in f16 (NAK/FAK/MAC are print-only —
+    SAF filtering already happened on device in f32; the f16 rounding is a
+    documented <5e-4 relative deviation on printed diagnostics, PARITY.md).
+    ~2.4x fewer bytes than the f32 BucketStats fetch."""
+
+    gt_tally: jnp.ndarray   # [C, S, V, G] uint16 summed genotype tallies
+    al_tally: jnp.ndarray   # [C, S, V, A] uint16 summed allele tallies
+    denom: jnp.ndarray      # [C, S] uint16 total tally (chains x samples)
+    gt: jnp.ndarray         # [C, S, V, 2] int8 called pair, MISSING = no call
+    saf: jnp.ndarray        # [C, S, V, A] uint8 filter code 0..3
+    nak: jnp.ndarray        # [C, S, V, A] float16
+    fak: jnp.ndarray        # [C, S, V, A] float16
+    mac: jnp.ndarray        # [C, S, V, A] float16
+
+
+def unpack_stats_host(p) -> BucketStats:
+    """PackedBucketStats (numpy, any leading axes) -> BucketStats.
+
+    gpp/app/gq are re-derived from the exact u16 tallies with the same f32
+    arithmetic the device used (tally/denom division and the phred formula,
+    getGenotypeSampleStats VariantClusterGenotyper.cpp:409-423), so the
+    bit-compatibility surface (GT/GPP/GQ) is unchanged by packing."""
+    denom = p.denom.astype(np.int32)                       # [..., S]
+    denom_f = np.maximum(denom.astype(np.float32), np.float32(1.0))
+    dvg = denom_f[..., None, None]
+    gpp = p.gt_tally.astype(np.float32) / dvg
+    app = p.al_tally.astype(np.float32) / dvg
+    max_tally = p.gt_tally.astype(np.int32).max(axis=-1)   # [..., S, V]
+    max_gpp = max_tally.astype(np.float32) / denom_f[..., None]
+    with np.errstate(divide="ignore"):
+        phred = np.float32(-10.0) * np.log10(
+            np.maximum(np.float32(1.0) - max_gpp, np.float32(1e-12))
+        )
+    gq = np.where(
+        max_tally == denom[..., None],
+        np.float32(99.0),
+        np.where(max_tally == 0, np.float32(0.0), phred),
+    ).astype(np.float32)
+    return BucketStats(
+        gpp=gpp,
+        app=app,
+        gq=gq,
+        gt=p.gt.astype(np.int32),
+        saf=p.saf,
+        nak=p.nak.astype(np.float32),
+        fak=p.fak.astype(np.float32),
+        mac=p.mac.astype(np.float32),
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class FilterConfig:
     min_genotype_posterior: float
@@ -131,6 +190,31 @@ def collect_bucket_stats_stacked(
 @functools.partial(
     jax.jit, static_argnames=("outcomes", "filters", "allele_capacity", "mac_top_t")
 )
+def collect_bucket_stats_packed_stacked(
+    sbucket,
+    outcomes: OutcomeSpace,
+    tallies,
+    ws,
+    filters: FilterConfig,
+    allele_capacity: int = 8,
+    mac_top_t: int = 8,
+) -> PackedBucketStats:
+    """collect_bucket_stats_stacked with transfer-compact outputs (see
+    PackedBucketStats): identical device computation, but the posteriors are
+    returned as exact u16 tallies (host re-derives gpp/app/gq bit-exactly)
+    and NAK/FAK/MAC as f16. One fetch per stacked group at ~2.4x fewer
+    bytes."""
+    return jax.vmap(
+        lambda b, t, w: _collect_bucket_stats_impl(
+            b, outcomes, t, w, filters, allele_capacity, mac_top_t, None,
+            packed=True,
+        )
+    )(sbucket, tallies, ws)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("outcomes", "filters", "allele_capacity", "mac_top_t")
+)
 def collect_bucket_stats(
     bucket: ClusterBucket,
     outcomes: OutcomeSpace,
@@ -140,10 +224,11 @@ def collect_bucket_stats(
     allele_capacity: int = 8,
     mac_top_t: int = 8,
     missing_stats=None,
+    mac_extra=None,
 ) -> BucketStats:
     return _collect_bucket_stats_impl(
         bucket, outcomes, tally, w, filters, allele_capacity, mac_top_t,
-        missing_stats,
+        missing_stats, mac_extra=mac_extra,
     )
 
 
@@ -156,6 +241,8 @@ def _collect_bucket_stats_impl(
     allele_capacity: int = 8,
     mac_top_t: int = 8,
     missing_stats=None,
+    packed: bool = False,
+    mac_extra=None,
 ) -> BucketStats:
     """Reduce Gibbs tallies to the full per-variant output statistics.
 
@@ -164,7 +251,13 @@ def _collect_bucket_stats_impl(
     allele of nested child variants whose own sentinel slot carries no kmers
     (addNestedHaplotypeKmerStats, VariantClusterHaplotypes.cpp:295-300:
     demoted copies contribute the PARENT haplotype's stats to the nested
-    missing allele)."""
+    missing allele).
+
+    mac_extra: optional [C, S, V, A] f32 — the coupled scan's accumulated
+    shared-k-mer MAC numerator corrections (sibling pool contributions in
+    the denominator; gibbs.genotype_nested). Requires mac_top_t == O so the
+    per-iteration correction weights match the exact tally sum
+    (updateKmerStatsCache, VariantClusterHaplotypes.cpp:302-333)."""
     c, k, h = bucket.mult.shape
     s = bucket.counts.shape[2]
     o = outcomes.num_outcomes
@@ -491,6 +584,10 @@ def _collect_bucket_stats_impl(
         mac_num, mac_den = jax.vmap(mac_sums, out_axes=1)(jnp.arange(a_cap))
         mac_num = mac_num.transpose(0, 2, 1)
         mac_den = mac_den.transpose(0, 2, 1)
+        if mac_extra is not None:
+            mac_num = mac_num + jax.lax.dynamic_index_in_dim(
+                mac_extra, v_idx, axis=2, keepdims=False
+            )                                             # [C, S, A]
         mac = jnp.where(mac_den > 0, mac_num / jnp.maximum(mac_den, 1.0), -1.0)
         if missing_stats is not None:
             mac = jnp.where(sub & (mac < 0), mac_m[:, :, None], mac)
@@ -538,9 +635,34 @@ def _collect_bucket_stats_impl(
         gt_hi = jnp.where(called & is_dip, gt_hi, MISSING)
         gt = jnp.stack([gt_lo, gt_hi], axis=-1)                   # [C, S, 2]
 
+        if packed:
+            # exact integer tallies (< 2^16: chains x samples <= 5000 at the
+            # production defaults; engine guards the packed path on this)
+            return (
+                gt_int.astype(jnp.uint16),
+                jnp.round(al_tally).astype(jnp.uint16),
+                gt.astype(jnp.int8),
+                filt.astype(jnp.uint8),
+                nak.astype(jnp.float16),
+                fak.astype(jnp.float16),
+                mac.astype(jnp.float16),
+            )
         return gpp, app, gq, gt, filt.astype(jnp.uint8), nak, fak, mac
 
     results = jax.lax.map(per_variant, jnp.arange(v))
+    if packed:
+        gt_tally, al_tally_u, gt, saf, nak, fak, mac = results
+        # lax.map stacks on axis 0 = variant; move to axis 2
+        return PackedBucketStats(
+            gt_tally=jnp.moveaxis(gt_tally, 0, 2),
+            al_tally=jnp.moveaxis(al_tally_u, 0, 2),
+            denom=denom.astype(jnp.uint16),
+            gt=jnp.moveaxis(gt, 0, 2),
+            saf=jnp.moveaxis(saf, 0, 2),
+            nak=jnp.moveaxis(nak, 0, 2),
+            fak=jnp.moveaxis(fak, 0, 2),
+            mac=jnp.moveaxis(mac, 0, 2),
+        )
     gpp, app, gq, gt, saf, nak, fak, mac = results
     # lax.map stacks on axis 0 = variant; move to axis 2
     return BucketStats(

@@ -302,7 +302,7 @@ def _production_coupled_gpp(rng_seed, n_private, n_shared, chains=30,
     parent_levels = [jnp.full(1, -1, jnp.int32)] * 2
     parent_rows = [jnp.zeros(1, jnp.int32)] * 2
     retain_tables = [jnp.zeros((1, outcomes.num_outcomes), jnp.int8)] * 2
-    tallies_p, _ = genotype_nested(
+    tallies_p, _, _ = genotype_nested(
         jax.random.PRNGKey(9), tuple(buckets), tuple(parent_levels),
         tuple(parent_rows), tuple(retain_tables), tuple(shared_infos),
         jnp.asarray(tables.astype(np.float32)), (outcomes, outcomes),
