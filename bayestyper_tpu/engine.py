@@ -76,12 +76,21 @@ def _log(msg):
 
 
 def _log_rss(phase: str):
-    """Peak-RSS line after each major phase (the reference logs max resident
-    set size the same way, Utils.hpp:126-135 getMaxMemoryUsage)."""
+    """Peak + current RSS after each major phase (the reference logs max
+    resident set size the same way, Utils.hpp:126-135 getMaxMemoryUsage;
+    current RSS separates the phase's own footprint from earlier peaks,
+    e.g. an in-process simulation)."""
     import resource
 
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    _log(f"[{phase}] peak RSS {rss:.2f} GB")
+    cur = ""
+    try:
+        with open("/proc/self/statm") as fh:
+            pages = int(fh.read().split()[1])
+        cur = f", now {pages * 4096 / 1e9:.2f} GB"
+    except OSError:
+        pass
+    _log(f"[{phase}] peak RSS {rss:.2f} GB{cur}")
 
 
 class _Profiler:
@@ -166,10 +175,13 @@ class LaneTable:
 
     def lookup_sparse(self, hi, lo):
         """Lookup tuned for MISS-HEAVY query streams (the intercluster
-        genome scan: ~93% of region k-mers are not path k-mers). A 2^22-slot
+        genome scan: most region k-mers are not path k-mers). A 2^22-slot
         byte map over the hi-prefix (fits L2) rejects most misses with one
-        cached load each; only survivors pay the DRAM binary search. Same
-        results as lookup()."""
+        cached load each; only survivors pay the DRAM binary search. When
+        the table is dense enough to SATURATE the map (high-variant-density
+        units: >50% of slots set rejects too little to pay for the
+        mask/compact/scatter passes), the prefilter is skipped and queries
+        go straight to the rooted search. Same results as lookup()."""
         if len(self.hi) == 0 or len(hi) == 0:
             return np.full(len(hi), -1, dtype=np.int64)
         pf = getattr(self, "_prefilter", None)
@@ -178,8 +190,13 @@ class LaneTable:
             shift = np.uint64(54 - bits)  # hi holds the top 54-bit half
             pf_map = np.zeros(1 << bits, np.bool_)
             pf_map[(self.hi >> shift).astype(np.int64)] = True
-            pf = (pf_map, shift)
+            if pf_map.mean() > 0.5:
+                pf = "dense"
+            else:
+                pf = (pf_map, shift)
             self._prefilter = pf
+        if pf == "dense":
+            return self.lookup(hi, lo)
         pf_map, shift = pf
         maybe = pf_map[(hi >> shift).astype(np.int64)]
         idx = np.full(len(hi), -1, dtype=np.int64)
@@ -543,15 +560,22 @@ def _run_cluster_phase_impl(
             mhit = idx[hit & np.where(hit, member_flags[np.maximum(idx, 0)], False)]
         else:
             mhit = idx[:0]
+        # occurrence tallies via bincount (vectorised ~1 ns/element) instead
+        # of unbuffered np.add.at (~20 ns/element); pf/pm are chunk
+        # constants, so weighted adds reduce to scaled occurrence counts
+        occ = np.bincount(mhit, minlength=len(occ_count)) if len(mhit) \
+            else None
         if genome.is_decoy(chrom):
             decoy_hit[mhit] = True
-            np.add.at(occ_count, mhit, 1)
+            if occ is not None:
+                occ_count += occ
             # parameter candidates never come from decoys here; decoy kmers
             # are kept unconditionally by the reference (KmerCounter.cpp:171-250)
             continue
-        np.add.at(inter_f, mhit, pf)
-        np.add.at(inter_m, mhit, pm)
-        np.add.at(occ_count, mhit, 1)
+        if occ is not None:
+            inter_f += (pf * occ).astype(np.int32)
+            inter_m += (pm * occ).astype(np.int32)
+            occ_count += occ
         cand = ~hit
         if sample_rate < 1.0:
             cand &= rng.random(len(hi)) < sample_rate
@@ -892,7 +916,7 @@ def gather_sample_counts(unit: InferenceUnitData, samples, num_threads: int = 1)
                 if len(maybe_zero):
                     hz = table.lookup(hi[maybe_zero], lo[maybe_zero]) == 0
                     hit[maybe_zero[hz]] = True
-            elif use_merge and len(hi) and _is_ascending(
+            elif use_merge and len(hi) and native.lanes_ascending(
                 hi, lo, prev_hi, prev_lo
             ):
                 idx, cursor = native.lane_merge_lookup(
@@ -918,19 +942,6 @@ def gather_sample_counts(unit: InferenceUnitData, samples, num_threads: int = 1)
         for item in enumerate(samples):
             _one(item)
     return table, counts
-
-
-def _is_ascending(hi, lo, prev_hi, prev_lo):
-    """True when the (hi, lo) batch is sorted ascending and follows the
-    previous batch's last key."""
-    asc = np.all(
-        (hi[1:] > hi[:-1]) | ((hi[1:] == hi[:-1]) & (lo[1:] >= lo[:-1]))
-    )
-    if not asc:
-        return False
-    if prev_hi is None:
-        return True
-    return bool(hi[0] > prev_hi or (hi[0] == prev_hi and lo[0] >= prev_lo))
 
 
 def parameter_kmer_stats(unit, samples, table, counts):
@@ -1084,7 +1095,15 @@ def _stack_groups(chunks, per_chunk_bytes):
     groups = []
     for i in range(0, len(chunks), b_cap):
         group = chunks[i : i + b_cap]
-        b_pad = _pow2_at_least(len(group), 1)
+        # UNIFORM stack depth per class: when the class fills at least one
+        # group, the tail group pads to the same B instead of its own
+        # power of two — one executable per class, and it dodges measured
+        # small-B compile pathologies (an H16 B=4 tail group ran ~10x
+        # slower than the B=8 executable doing double the work; zero-pad
+        # chunks are inert and cheap by comparison).
+        b_pad = b_cap if len(chunks) > b_cap else _pow2_at_least(
+            len(group), 1
+        )
         groups.append((group, b_pad))
     return groups
 
@@ -1167,15 +1186,20 @@ def _coalesce_size_classes(by_class, min_count=128):
 
 def _size_class(fc: FinalizedCluster):
     """Coarse size classes: every distinct class costs one XLA compile
-    (~50s on the tunnel), so V/A use x4 steps — over-padding is cheap
+    (~50s on the tunnel), so A uses x4 steps — over-padding is cheap
     (LL compute is linear in K) while compiles are not. K uses x2 steps
     from 128: the bulk SNV/indel classes carry ~110 real k-mers, so a
     256-floor class padded them to fill ~43% — the k-mer-proportional
     costs (bucket upload over the ~30 MB/s tunnel, LL precompute, count
-    tensors) all halve at a 128 floor for one extra compile per H class."""
+    tensors) all halve at a 128 floor for one extra compile per H class.
+    V uses x2 steps too (round 5): the stats pass loops per PADDED variant
+    slot and the packed fetch ships per-slot rows, so a 6-variant dense
+    cluster in a V16 class paid 10 dead slots — V8 halves its stats and
+    fetch for one extra compile per affected class. Padding never changes
+    results (slots are masked; draws are keyed per cluster/k-mer slot)."""
     h = _pow2_at_least(fc.hap_allele.shape[0], 2)
     k = _step_at_least(max(len(fc.kmer_hi), 1), 128, 2)
-    v = _step_at_least(len(fc.variants), 1, 4)
+    v = _step_at_least(len(fc.variants), 1, 2)
     a = _step_at_least(max(x.num_alleles for x in fc.variants), 2, 2)
     return (h, k, v, a)
 
@@ -1581,6 +1605,22 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
     if mesh is not None:
         tables = _replicate_for_mesh(tables, mesh)
 
+    # bucket builds for the noise batch run on a 2-worker pool (the native
+    # bt_build_bucket pass releases the GIL; serial builds were ~10-20 s of
+    # the noise phase wall on this 2-core host)
+    from concurrent.futures import ThreadPoolExecutor
+
+    build_pool = ThreadPoolExecutor(2)
+    build_futures = {}
+    for key_cls in sorted(selected):
+        pc = plan[key_cls]
+        for ci in sorted(selected[key_cls]):
+            build_futures[(key_cls, ci)] = build_pool.submit(
+                _bucket_cached, bucket_cache, pc.chunks[ci],
+                (pc.c_pad, pc.k, pc.h, pc.v), samples, ploidy_model,
+                ucounts, seed,
+            )
+
     sbuckets, valids, outcomes_list, cfgs = [], [], [], []
     per_chain_bytes = 0
     for key_cls in sorted(selected):
@@ -1589,10 +1629,7 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
         bs, nvs = [], []
         for ci in sel:
             chunk = pc.chunks[ci]
-            bs.append(_bucket_cached(
-                bucket_cache, chunk, (pc.c_pad, pc.k, pc.h, pc.v), samples,
-                ploidy_model, ucounts, seed,
-            ))
+            bs.append(build_futures[(key_cls, ci)].result())
             mask = np.zeros(pc.c_pad, bool)
             if fallback_first_chunk:
                 mask[: len(chunk)] = True
@@ -1616,6 +1653,7 @@ def estimate_noise(unit, samples, table, counts, ploidy_model, nb_params,
         per_chain_bytes += (
             len(sel) * pc.c_pad * len(samples) * outcomes.num_outcomes * 10
         )
+    build_pool.shutdown()
     _log(f"Estimating noise from {num_vars} variants in {len(sbuckets)} "
          f"size classes ({sum(len(v) for v in selected.values())} chunks)")
 
@@ -1808,6 +1846,27 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
     class_map = _class_map(singles)
     plan = _plan_unit(singles, class_map, opts, samples, mesh)
 
+    # background pre-build of EVERY chunk's device bucket: the noise scan
+    # leaves host + up-tunnel idle for ~40 s, while the wave loop's first
+    # groups previously paid builds/uploads inline. Builders and consumers
+    # dedupe through bucket_cache (a rebuilt-after-pop duplicate is
+    # harmless); best-effort by design.
+    import threading
+
+    def _prebuild_buckets():
+        try:
+            for key_cls in sorted(plan):
+                pc = plan[key_cls]
+                for chunk in pc.chunks:
+                    _bucket_cached(
+                        bucket_cache, chunk, (pc.c_pad, pc.k, pc.h, pc.v),
+                        samples, ploidy_model, ucounts, seed,
+                    )
+        except Exception:
+            pass  # consumers rebuild on miss
+
+    threading.Thread(target=_prebuild_buckets, daemon=True).start()
+
     profiler = _Profiler()
     profiler.__enter__()   # spans noise + waves + nested (BT_PROFILE_DIR)
     noise_rates, noise_traces = estimate_noise(
@@ -1910,7 +1969,11 @@ def genotype_unit(unit: InferenceUnitData, samples, genome, ploidy_model,
                 len(fc.variants) for chunk in group for fc in chunk
             )
             t4 = time.perf_counter()
-            emitter.throttle(2)
+            # 3 in-flight groups: the packed stats buffers are small enough
+            # (u16/f16, ~1-12 MB each) that a deeper pipeline no longer
+            # risks the HBM ceiling, and it hides the scan of group N+2
+            # behind the fetch of group N
+            emitter.throttle(3)
             t5 = time.perf_counter()
             t_build += t1 - t0
             t_stack += t2 - t1
@@ -2058,7 +2121,7 @@ def _genotype_nested_set(nested, samples, ploidy_model, ucounts,
     for fcs in levels:
         h = max(_pow2_at_least(fc.hap_allele.shape[0], 2) for fc in fcs)
         k = max(_step_at_least(max(len(fc.kmer_hi), 1), 128, 2) for fc in fcs)
-        v = max(_step_at_least(len(fc.variants), 1, 4) for fc in fcs)
+        v = max(_step_at_least(len(fc.variants), 1, 2) for fc in fcs)
         a = max(
             _step_at_least(max(x.num_alleles for x in fc.variants), 2, 2)
             for fc in fcs

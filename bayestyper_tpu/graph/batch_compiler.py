@@ -419,12 +419,20 @@ def _compile_chunk(pathsets, clusters, genome, kmer_size, out):
     np.cumsum(k_per_cluster, out=k_off[1:])
 
     # ---- membership: [n_unique, Vmax, Hmax] ----
-    # fast single-variant clusters: every path kmer crosses the variant
+    # fast single-variant clusters: every path kmer crosses the variant, so
+    # membership is exactly (multiplicity > 0) — a contiguous slice compare
+    # per cluster instead of the ~n_entries random fancy-index scatter that
+    # dominated this pass (urow is random within the chunk)
     member_flat = np.zeros((max(n_unique, 1), v_max, h_max), bool)
     fast_mask = np.fromiter((ps[3] for ps in pathsets), bool, len(pathsets))
-    if fast_mask.any():
-        fast_entries = fast_mask[ecl]
-        member_flat[urow[fast_entries], 0, ehap[fast_entries]] = True
+    if n_unique and fast_mask.all():
+        np.greater(mult_flat, 0, out=member_flat[:, 0, :])
+    elif fast_mask.any():
+        for li in np.flatnonzero(fast_mask):
+            a0, a1 = k_off[li], k_off[li + 1]
+            np.greater(
+                mult_flat[a0:a1], 0, out=member_flat[a0:a1, 0, :]
+            )
 
     # general clusters: span ranges -> contiguous slices of the (path, pos)-
     # ordered entry array via two vectorised searchsorteds on global positions

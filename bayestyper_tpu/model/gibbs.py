@@ -567,7 +567,19 @@ def _sample_outcomes(key, logits):
     blk = jnp.sum(
         jnp.where(g_oh[..., None], pp, 0.0), axis=-2
     )                                                # [..., B]
-    lcs = jnp.cumsum(blk, axis=-1)                   # O(B^2), small
+    # within-block inclusive cumsum as ONE [B, B] upper-triangular matmul:
+    # XLA lowers jnp.cumsum on a 64-wide minor axis as an O(B^2)
+    # reduce-window on the VPU, which profiled at ~10% of the H64-class
+    # scan step (round 5); the MXU dot is ~free. Dot-product summation
+    # order differs from the sequential cumsum by f32 ulps, which can
+    # shift a draw across a threshold — distribution-neutral, exactly
+    # like the block-boundary rounding note above.
+    tri_b = jnp.asarray(np.tril(np.ones((b, b), np.float32)).T)
+    lcs = jnp.einsum(
+        "...b,bc->...c", blk, tri_b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     t = u - prev
     j = jnp.minimum(
         jnp.sum((lcs <= t).astype(jnp.int32), axis=-1), b - 1
@@ -1817,6 +1829,16 @@ def _freqs0(bucket, num_chains):
     )
 
 
+# (S, O) flattening threshold for the scan-resident arrays: SMALL outcome
+# spaces flatten (a minor dim of ~78-200 pads ~1.6-10x under the TPU's
+# (8, 128) tiling — the round-4 HBM ceiling), but for LARGE O the minor dim
+# is already tile-sized and the flat layout forced a physical relayout of
+# every [.., S, O] view INSIDE the scan step (profiled round 5: the
+# reshape/copy pair was ~25% of the H64-class step). Keep O >= this
+# threshold in natural [.., S, O] layout.
+_FLAT_SO_MAX_O = 512
+
+
 @functools.partial(jax.jit, static_argnames=("outcomes", "cfg"))
 def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
                      cfg: GibbsConfig):
@@ -1832,6 +1854,7 @@ def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
     osp = _osp_arrays(outcomes)
     b, c = sbucket.mult.shape[:2]
     s = sbucket.counts.shape[3]
+    flat_so = o < _FLAT_SO_MAX_O
 
     def pre(bucket_b):
         k_sub, k_chain = jax.random.split(base_key)
@@ -1840,12 +1863,15 @@ def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
             bucket_b, outcomes, tables, w, cfg.max_total_mult,
             include_noise_row=True, has_inter=cfg.has_inter,
         )
-        # the scan-resident LL is stored with (S, O) FLATTENED: tiny minor
-        # dims pad up to ~20x under the TPU's (8, 128) tiling, and the
-        # padded ll+tally carries were the stacked program's HBM ceiling
-        # (B=16 bulk groups OOMed). S*O ~ 78-128 keeps padding ~1x; the
-        # per-step reshape back to [S, O] is a fused index remap.
-        ll = ll.reshape(ll.shape[0], cfg.num_chains, s * o)
+        # the scan-resident LL of SMALL outcome spaces is stored with
+        # (S, O) FLATTENED: tiny minor dims pad up to ~20x under the TPU's
+        # (8, 128) tiling, and the padded ll+tally carries were the stacked
+        # program's HBM ceiling (B=16 bulk groups OOMed). S*O ~ 78-128
+        # keeps padding ~1x; the per-step reshape back to [S, O] is a fused
+        # index remap there. LARGE O stays in natural layout — see
+        # _FLAT_SO_MAX_O.
+        if flat_so:
+            ll = ll.reshape(ll.shape[0], cfg.num_chains, s * o)
         chain_keys = _chain_keys(k_chain, bucket_b.cluster_id, cfg.num_chains)
         return w, ll, chain_keys, _freqs0(bucket_b, cfg.num_chains)
 
@@ -1854,10 +1880,11 @@ def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
     def step(carry, t):
         freqs, tally = carry
 
-        def per_cc(ck, f, ll_flat, ploidy, hvc, sp, usp):
+        def per_cc(ck, f, ll_v, ploidy, hvc, sp, usp):
             key = jax.random.fold_in(ck, t.astype(jnp.uint32))
             return _gibbs_iteration(
-                key, f, ll_flat.reshape(s, o), ploidy, hvc, sp, usp, osp
+                key, f, ll_v.reshape(s, o) if flat_so else ll_v,
+                ploidy, hvc, sp, usp, osp
             )
 
         per_cluster = jax.vmap(  # over chains
@@ -1868,18 +1895,28 @@ def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
         ))(chain_keys, freqs, ll, sbucket.ploidy, sbucket.hap_valid,
            sbucket.sparsity, sbucket.use_sparse)
 
-        collect = (t >= cfg.burn_in).astype(jnp.int32)
+        # u16 accumulation: tallies max out at num_samples iterations
+        # (<= 250), and the tally carry is the second-largest scan-resident
+        # array — u16 halves its per-step read+write traffic. Values are
+        # exact; the result is cast back to int32 after the scan.
+        collect = (t >= cfg.burn_in).astype(jnp.uint16)
         onehot = (
             jnp.arange(o, dtype=jnp.int32) == o_sel[..., None]
-        ).astype(jnp.int32).reshape(b, c, cfg.num_chains, s * o)
+        ).astype(jnp.uint16)
+        if flat_so:
+            onehot = onehot.reshape(b, c, cfg.num_chains, s * o)
         return (new_freqs, tally + collect * onehot), None
 
-    tally0 = jnp.zeros((b, c, cfg.num_chains, s * o), jnp.int32)
+    tally_shape = (
+        (b, c, cfg.num_chains, s * o) if flat_so
+        else (b, c, cfg.num_chains, s, o)
+    )
+    tally0 = jnp.zeros(tally_shape, jnp.uint16)
     (_, tally), _ = jax.lax.scan(
         step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32),
         unroll=SCAN_UNROLL,
     )
-    return tally.reshape(b, c, cfg.num_chains, s, o), w
+    return tally.reshape(b, c, cfg.num_chains, s, o).astype(jnp.int32), w
 
 
 def _noise_setup_stacked(base_key, k_master, sbucket, tables, outcomes, cfg,
@@ -1913,13 +1950,19 @@ def _noise_setup_stacked(base_key, k_master, sbucket, tables, outcomes, cfg,
         return w, llg, a, b_, c0, cluster_keys, _freqs0(bucket_b, num_chains)
 
     w, llg, a, b_, c0, cluster_keys, freqs0 = jax.lax.map(pre, sbucket)
-    # (S, O) flattened for the scan-resident arrays — see genotype_stacked:
-    # padded tiny minor dims were the stacked programs' HBM ceiling
+    # (S, O) flattened for SMALL outcome spaces — see genotype_stacked:
+    # padded tiny minor dims were the stacked programs' HBM ceiling; large
+    # O stays natural (_FLAT_SO_MAX_O)
     bb, cc = llg.shape[:2]
     s = sbucket.counts.shape[3]  # stacked layout [B, C, K, S]
     o = outcomes.num_outcomes
-    flat = lambda x: x.reshape(bb, cc, num_chains, s * o)
-    null_mask = jnp.arange(s * o) % o == o - 1
+    flat_so = o < _FLAT_SO_MAX_O
+    if flat_so:
+        flat = lambda x: x.reshape(bb, cc, num_chains, s * o)
+        null_mask = jnp.arange(s * o) % o == o - 1
+    else:
+        flat = lambda x: x
+        null_mask = jnp.arange(o) == o - 1
     # fold the constant c0 into llg (identical bits to the *_multi fold:
     # c0*mask == where(null, 0, c0)); b as u16 — together the scan-resident
     # per-chain state drops from 16 to 10 bytes/element, which is what lets
@@ -1929,19 +1972,60 @@ def _noise_setup_stacked(base_key, k_master, sbucket, tables, outcomes, cfg,
         sbucket=sbucket, w=w, llg=llg_f, a=flat(a),
         b=flat(b_).astype(jnp.uint16), cluster_keys=cluster_keys,
         freqs0=freqs0, osp=_osp_arrays(outcomes), num_outcomes=o,
-        num_samples=s, null_mask=null_mask,
+        num_samples=s, null_mask=null_mask, flat_so=flat_so,
     )
+
+
+def _noise_ll_stacked(su, log_r, rates):
+    """Per-iteration noise log-likelihood for one stacked class: llg (c0
+    pre-folded) + a*log(r) - b*r with the null outcome zeroed — in the
+    class's flat or natural (S, O) layout."""
+    s, o = su["num_samples"], su["num_outcomes"]
+    ch = rates.shape[0]
+    if su["flat_so"]:
+        log_r_f = jnp.broadcast_to(
+            log_r[:, :, None], (ch, s, o)
+        ).reshape(ch, s * o)[None, None]
+        rates_f = jnp.broadcast_to(
+            rates[:, :, None], (ch, s, o)
+        ).reshape(ch, s * o)[None, None]
+    else:
+        log_r_f = log_r[None, None, :, :, None]
+        rates_f = rates[None, None, :, :, None]
+    noise_part = (
+        su["a"] * log_r_f - su["b"].astype(jnp.float32) * rates_f
+    )
+    # null-outcome entries zeroed via the mask — matches the *_multi
+    # ll_mask multiply exactly (masked entries exactly 0.0)
+    noise_part = jnp.where(su["null_mask"], 0.0, noise_part)
+    return su["llg"] + noise_part
+
+
+def _ab_so(su, rates):
+    """a/b viewed as [B, C, ch, S, O] for the sufficient-statistic select."""
+    s, o = su["num_samples"], su["num_outcomes"]
+    ch = rates.shape[0]
+    if su["flat_so"]:
+        bb, cc = su["a"].shape[:2]
+        return (
+            su["a"].reshape(bb, cc, ch, s, o),
+            su["b"].reshape(bb, cc, ch, s, o),
+        )
+    return su["a"], su["b"]
 
 
 def _stacked_class_step(su, freqs, t, ll_flat):
     """One Gibbs iteration for every (chunk, cluster, chain) of one class.
-    ll_flat is [B, C, ch, S*O]; the [S, O] view is a fused index remap."""
+    ll_flat is [B, C, ch, S*O] for small-O classes (the [S, O] view is a
+    fused index remap) or natural [B, C, ch, S, O] for large-O classes."""
     s, o = su["num_samples"], su["num_outcomes"]
+    flat_so = su["flat_so"]
 
     def per_cc(ck, f, llcc, ploidy, hvc, sp, usp, osp=su["osp"]):
         key = jax.random.fold_in(ck, t.astype(jnp.uint32))
         return _gibbs_iteration(
-            key, f, llcc.reshape(s, o), ploidy, hvc, sp, usp, osp
+            key, f, llcc.reshape(s, o) if flat_so else llcc,
+            ploidy, hvc, sp, usp, osp
         )
 
     sbucket = su["sbucket"]
@@ -2003,27 +2087,10 @@ def noise_chains_stacked(base_key, sbuckets, noise_valids, tables, init_rates,
         num_obs = jnp.zeros(rates.shape, jnp.int32)
         new_freqs_list = []
         for su, freqs in zip(setups, freqs_list):
-            s, o = su["num_samples"], su["num_outcomes"]
-            ch = rates.shape[0]
-            log_r_f = jnp.broadcast_to(
-                log_r[:, :, None], (ch, s, o)
-            ).reshape(ch, s * o)
-            rates_f = jnp.broadcast_to(
-                rates[:, :, None], (ch, s, o)
-            ).reshape(ch, s * o)
-            # null-outcome entries zeroed via the flat mask — matches the
-            # *_multi ll_mask multiply exactly (masked entries exactly 0.0)
-            noise_part = (
-                su["a"] * log_r_f[None, None]
-                - su["b"].astype(jnp.float32) * rates_f[None, None]
-            )
-            noise_part = jnp.where(su["null_mask"], 0.0, noise_part)
-            ll = su["llg"] + noise_part
+            ll = _noise_ll_stacked(su, log_r, rates)
             new_freqs, o_sel = _stacked_class_step(su, freqs, t, ll)
             # o_sel: [B, C, ch, S]
-            bb, cc = su["a"].shape[:2]
-            a_so = su["a"].reshape(bb, cc, ch, s, o)
-            b_so = su["b"].reshape(bb, cc, ch, s, o)
+            a_so, b_so = _ab_so(su, rates)
             a_sel = _select_outcome(a_so, o_sel)
             b_sel = _select_outcome(b_so, o_sel)
             # int32: exact, order-independent (see noise_chain)
@@ -2104,28 +2171,13 @@ def joint_chains_stacked(base_key, sbuckets, tables, init_rates, noise_prior,
         count_sum = jnp.zeros(rates.shape, jnp.int32)
         num_obs = jnp.zeros(rates.shape, jnp.int32)
         new_freqs_list, new_tally_list = [], []
-        collect = (t >= cfgs[0].burn_in).astype(jnp.int32)
+        collect_u = (t >= cfgs[0].burn_in).astype(jnp.uint16)
         for su, freqs, tally in zip(setups, freqs_list, tally_list):
             s, o = su["num_samples"], su["num_outcomes"]
             ch = rates.shape[0]
-            log_r_f = jnp.broadcast_to(
-                log_r[:, :, None], (ch, s, o)
-            ).reshape(ch, s * o)
-            rates_f = jnp.broadcast_to(
-                rates[:, :, None], (ch, s, o)
-            ).reshape(ch, s * o)
-            # null-outcome entries zeroed via the flat mask — matches the
-            # *_multi ll_mask multiply exactly (masked entries exactly 0.0)
-            noise_part = (
-                su["a"] * log_r_f[None, None]
-                - su["b"].astype(jnp.float32) * rates_f[None, None]
-            )
-            noise_part = jnp.where(su["null_mask"], 0.0, noise_part)
-            ll = su["llg"] + noise_part
+            ll = _noise_ll_stacked(su, log_r, rates)
             new_freqs, o_sel = _stacked_class_step(su, freqs, t, ll)
-            bb, cc = su["a"].shape[:2]
-            a_so = su["a"].reshape(bb, cc, ch, s, o)
-            b_so = su["b"].reshape(bb, cc, ch, s, o)
+            a_so, b_so = _ab_so(su, rates)
             a_sel = _select_outcome(a_so, o_sel)
             b_sel = _select_outcome(b_so, o_sel)
             count_sum = count_sum + jnp.sum(
@@ -2136,10 +2188,15 @@ def joint_chains_stacked(base_key, sbuckets, tables, init_rates, noise_prior,
                 (b_sel * su["cv"][:, :, None, None]).astype(jnp.int32),
                 axis=(0, 1),
             )
+            # u16 tally accumulation (see genotype_stacked): exact, halves
+            # the carry traffic; cast back to int32 after the scan
+            bb, cc = su["llg"].shape[:2]
             onehot = (
                 jnp.arange(o, dtype=jnp.int32) == o_sel[..., None]
-            ).astype(jnp.int32).reshape(bb, cc, ch, s * o)
-            new_tally_list.append(tally + collect * onehot)
+            ).astype(jnp.uint16)
+            if su["flat_so"]:
+                onehot = onehot.reshape(bb, cc, ch, s * o)
+            new_tally_list.append(tally + collect_u * onehot)
             new_freqs_list.append(new_freqs)
 
         if axis_name is not None:
@@ -2162,8 +2219,12 @@ def joint_chains_stacked(base_key, sbuckets, tables, init_rates, noise_prior,
     tally0 = tuple(
         jnp.zeros(
             su["sbucket"].mult.shape[:2]
-            + (num_chains, su["num_samples"] * su["num_outcomes"]),
-            jnp.int32,
+            + (
+                (num_chains, su["num_samples"] * su["num_outcomes"])
+                if su["flat_so"]
+                else (num_chains, su["num_samples"], su["num_outcomes"])
+            ),
+            jnp.uint16,
         )
         for su in setups
     )
@@ -2175,7 +2236,7 @@ def joint_chains_stacked(base_key, sbuckets, tables, init_rates, noise_prior,
     )
     tallies = tuple(
         t.reshape(t.shape[0], t.shape[1], num_chains,
-                  su["num_samples"], su["num_outcomes"])
+                  su["num_samples"], su["num_outcomes"]).astype(jnp.int32)
         for t, su in zip(tallies, setups)
     )
     return tallies, tuple(su["w"] for su in setups), jnp.transpose(

@@ -87,6 +87,8 @@ def get_lib():
     lib.bt_lane_merge_lookup.argtypes = [u64p, u64p, i64, u64p, u64p, i64,
                                          i64, i64p]
     lib.bt_lane_merge_lookup.restype = i64
+    lib.bt_lanes_ascending.argtypes = [u64p, u64p, i64, u64, u64, i32]
+    lib.bt_lanes_ascending.restype = i32
     lib.bt_lane_lookup_rooted.argtypes = [u64p, u64p, i64p, i32,
                                           u64p, u64p, i64, i64p]
     lib.bt_kmc_decode.argtypes = [u8p, i64, i32, i32, i32, u64p, i32, i32,
@@ -281,15 +283,33 @@ def lane_lookup(table_hi, table_lo, qhi, qlo):
 
 def lane_lookup_rooted(table_hi, table_lo, roots, shift, qhi, qlo):
     """Root-indexed lookup: roots is the [2^bits + 1] offset array over
-    (hi >> shift); see build_lane_roots."""
+    (hi >> shift); see build_lane_roots. Large query batches split across
+    2 worker threads (the C call releases the GIL and the search is
+    DRAM-latency-bound, so a second core nearly doubles throughput)."""
     lib = get_lib()
+    qhi = np.ascontiguousarray(qhi, np.uint64)
+    qlo = np.ascontiguousarray(qlo, np.uint64)
+    thi = np.ascontiguousarray(table_hi)
+    tlo = np.ascontiguousarray(table_lo)
     out = np.empty(len(qhi), dtype=np.int64)
-    lib.bt_lane_lookup_rooted(
-        np.ascontiguousarray(table_hi), np.ascontiguousarray(table_lo),
-        roots, shift,
-        np.ascontiguousarray(qhi, np.uint64),
-        np.ascontiguousarray(qlo, np.uint64), len(qhi), out,
-    )
+    n = len(qhi)
+    if n >= 1_000_000:
+        from concurrent.futures import ThreadPoolExecutor
+
+        mid = n // 2
+
+        def _half(lo_i, hi_i):
+            lib.bt_lane_lookup_rooted(
+                thi, tlo, roots, shift, qhi[lo_i:hi_i], qlo[lo_i:hi_i],
+                hi_i - lo_i, out[lo_i:hi_i],
+            )
+
+        with ThreadPoolExecutor(2) as pool:
+            f = pool.submit(_half, 0, mid)
+            _half(mid, n)
+            f.result()
+        return out
+    lib.bt_lane_lookup_rooted(thi, tlo, roots, shift, qhi, qlo, n, out)
     return out
 
 
@@ -307,6 +327,20 @@ def build_lane_roots(table_hi, target_leaf=32):
     roots[-1] = n
     roots[1:-1] = np.searchsorted(table_hi, bounds, side="left")
     return roots, shift
+
+
+def lanes_ascending(hi, lo, prev_hi=None, prev_lo=None):
+    """True when the (hi, lo) batch is sorted ascending and follows
+    (prev_hi, prev_lo). One fused C pass (the numpy version allocated three
+    batch-sized temporaries per KMC batch)."""
+    lib = get_lib()
+    has_prev = prev_hi is not None
+    return bool(lib.bt_lanes_ascending(
+        np.ascontiguousarray(hi, np.uint64),
+        np.ascontiguousarray(lo, np.uint64), len(hi),
+        int(prev_hi) if has_prev else 0,
+        int(prev_lo) if has_prev else 0, int(has_prev),
+    ))
 
 
 def lane_merge_lookup(table_hi, table_lo, qhi, qlo, t0=0):

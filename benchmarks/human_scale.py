@@ -38,6 +38,38 @@ def _peak_rss_gb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
+def _now_rss_gb():
+    with open("/proc/self/statm") as fh:
+        return int(fh.read().split()[1]) * 4096 / 1e9
+
+
+def _unit_component_bytes(unit, table=None, counts=None):
+    """Analytic footprint of the big persistent structures (VERDICT r4 #5:
+    break the peak RSS into components so unit-scale memory is a projection,
+    not a guess)."""
+    import numpy as _np
+
+    def nb(a):
+        return a.nbytes if isinstance(a, _np.ndarray) else 0
+
+    compiled = sum(
+        nb(fc.kmer_hi) + nb(fc.kmer_lo) + nb(fc.mult) + nb(fc.member)
+        + nb(fc.inter_mult_female) + nb(fc.inter_mult_male)
+        for fc in unit.compiled
+    )
+    params = nb(unit.param_hi) + nb(unit.param_lo) + \
+        nb(unit.param_mult_female) + nb(unit.param_mult_male)
+    out = {
+        "unit_compiled_mb": round(compiled / 1e6, 1),
+        "unit_param_kmers_mb": round(params / 1e6, 1),
+    }
+    if table is not None:
+        out["count_table_mb"] = round(
+            (table.hi.nbytes + table.lo.nbytes + counts.nbytes) / 1e6, 1
+        )
+    return out
+
+
 def _simulate(tmp, rng):
     from bayestyper_tpu.io.fasta import Genome, write_fasta
     from bayestyper_tpu.io.kmc import count_kmers_from_sequences, write_kmc1
@@ -191,8 +223,11 @@ def main():
     t_cluster = time.perf_counter() - t0
     nv = sum(len(fc.variants) for fc in unit.compiled)
     rss_cluster = _peak_rss_gb()
+    rss_cluster_now = _now_rss_gb()
+    components = _unit_component_bytes(unit)
     print(f"cluster phase: {t_cluster:.1f}s = {nv/t_cluster:.0f} variants/s "
-          f"(peak RSS {rss_cluster:.1f} GB)", flush=True)
+          f"(peak RSS {rss_cluster:.1f} GB, now {rss_cluster_now:.1f} GB; "
+          f"components {components})", flush=True)
 
     # ---- genotype phase (timed) ----
     opts = GenotypeOptions(
@@ -239,6 +274,9 @@ def main():
                 nv / (t_cluster + t_genotype), 1
             ),
             "peak_rss_gb": round(_peak_rss_gb(), 1),
+            "cluster_rss_now_gb": round(rss_cluster_now, 2),
+            "genotype_rss_now_gb": round(_now_rss_gb(), 2),
+            "unit_components": components,
             "call_rate": round(called / max(total, 1), 4),
             "concordance": round(correct / max(called, 1), 4),
         },

@@ -465,7 +465,54 @@ void bt_lane_lookup_rooted(const uint64_t* thi, const uint64_t* tlo,
                            const int64_t* roots, int32_t shift,
                            const uint64_t* qhi, const uint64_t* qlo,
                            int64_t qn, int64_t* out) {
-    for (int64_t i = 0; i < qn; ++i) {
+    // W-way software-pipelined search: W independent queries advance one
+    // probe per round with the NEXT probe prefetched, so the ~100 ns DRAM
+    // latency of each level overlaps across the batch instead of
+    // serializing per query (the scalar loop ran ~110 ns/query on the
+    // 50M-query intercluster genome scan; this runs ~3-4x faster).
+    constexpr int W = 16;
+    int64_t i = 0;
+    for (; i + W <= qn; i += W) {
+        int64_t lo_a[W], hi_a[W];
+        for (int w = 0; w < W; ++w) {
+            const uint64_t b = qhi[i + w] >> shift;
+            lo_a[w] = roots[b];
+            hi_a[w] = roots[b + 1];
+            if (lo_a[w] < hi_a[w]) {
+                const int64_t mid = (lo_a[w] + hi_a[w]) >> 1;
+                __builtin_prefetch(&thi[mid]);
+                __builtin_prefetch(&tlo[mid]);
+            }
+        }
+        bool active = true;
+        while (active) {
+            active = false;
+            for (int w = 0; w < W; ++w) {
+                if (lo_a[w] >= hi_a[w]) continue;
+                const int64_t mid = (lo_a[w] + hi_a[w]) >> 1;
+                const uint64_t h = qhi[i + w], l = qlo[i + w];
+                if (thi[mid] < h || (thi[mid] == h && tlo[mid] < l)) {
+                    lo_a[w] = mid + 1;
+                } else {
+                    hi_a[w] = mid;
+                }
+                if (lo_a[w] < hi_a[w]) {
+                    const int64_t nm = (lo_a[w] + hi_a[w]) >> 1;
+                    __builtin_prefetch(&thi[nm]);
+                    __builtin_prefetch(&tlo[nm]);
+                    active = true;
+                }
+            }
+        }
+        for (int w = 0; w < W; ++w) {
+            const uint64_t h = qhi[i + w], l = qlo[i + w];
+            const uint64_t b = h >> shift;
+            const int64_t p = lo_a[w];
+            out[i + w] =
+                (p < roots[b + 1] && thi[p] == h && tlo[p] == l) ? p : -1;
+        }
+    }
+    for (; i < qn; ++i) {
         const uint64_t h = qhi[i], l = qlo[i];
         const uint64_t b = h >> shift;
         int64_t lo_i = roots[b], hi_i = roots[b + 1];
@@ -480,6 +527,26 @@ void bt_lane_lookup_rooted(const uint64_t* thi, const uint64_t* tlo,
         out[i] = (lo_i < roots[b + 1] && thi[lo_i] == h && tlo[lo_i] == l)
                      ? lo_i : -1;
     }
+}
+
+// ascending-order check for a (hi, lo) lane batch continuing from
+// (prev_hi, prev_lo); returns 1 if sorted ascending, else 0. Replaces a
+// 3-temporary numpy pass that cost ~20% of KMC ingestion.
+int32_t bt_lanes_ascending(const uint64_t* hi, const uint64_t* lo, int64_t n,
+                           uint64_t prev_hi, uint64_t prev_lo,
+                           int32_t has_prev) {
+    if (n == 0) return 1;
+    if (has_prev &&
+        (hi[0] < prev_hi || (hi[0] == prev_hi && lo[0] < prev_lo))) {
+        return 0;
+    }
+    for (int64_t i = 1; i < n; ++i) {
+        if (hi[i] < hi[i - 1] ||
+            (hi[i] == hi[i - 1] && lo[i] < lo[i - 1])) {
+            return 0;
+        }
+    }
+    return 1;
 }
 
 // --- sorted-stream merge lookup -------------------------------------------
