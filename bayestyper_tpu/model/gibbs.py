@@ -1877,9 +1877,7 @@ def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
 
     w, ll, chain_keys, freqs0 = jax.lax.map(pre, sbucket)
 
-    def step(carry, t):
-        freqs, tally = carry
-
+    def iteration(freqs, t):
         def per_cc(ck, f, ll_v, ploidy, hvc, sp, usp):
             key = jax.random.fold_in(ck, t.astype(jnp.uint32))
             return _gibbs_iteration(
@@ -1890,33 +1888,51 @@ def genotype_stacked(base_key, sbucket, tables, outcomes: OutcomeSpace,
         per_cluster = jax.vmap(  # over chains
             per_cc, in_axes=(0, 0, 0, None, None, None, None)
         )
-        new_freqs, o_sel = jax.vmap(jax.vmap(  # over chunks, clusters
+        return jax.vmap(jax.vmap(  # over chunks, clusters
             per_cluster, in_axes=(0, 0, 0, 0, 0, 0, 0)
         ))(chain_keys, freqs, ll, sbucket.ploidy, sbucket.hap_valid,
            sbucket.sparsity, sbucket.use_sparse)
 
+    if flat_so:
         # u16 accumulation: tallies max out at num_samples iterations
-        # (<= 250), and the tally carry is the second-largest scan-resident
-        # array — u16 halves its per-step read+write traffic. Values are
-        # exact; the result is cast back to int32 after the scan.
-        collect = (t >= cfg.burn_in).astype(jnp.uint16)
-        onehot = (
-            jnp.arange(o, dtype=jnp.int32) == o_sel[..., None]
-        ).astype(jnp.uint16)
-        if flat_so:
-            onehot = onehot.reshape(b, c, cfg.num_chains, s * o)
-        return (new_freqs, tally + collect * onehot), None
+        # (<= 250), and the tally carry is the second-largest scan-
+        # resident array — u16 halves its per-step read+write traffic.
+        # Values are exact; the result is cast to int32 after the scan.
+        def step(carry, t):
+            freqs, tally = carry
+            new_freqs, o_sel = iteration(freqs, t)
+            collect = (t >= cfg.burn_in).astype(jnp.uint16)
+            onehot = (
+                jnp.arange(o, dtype=jnp.int32) == o_sel[..., None]
+            ).astype(jnp.uint16).reshape(b, c, cfg.num_chains, s * o)
+            return (new_freqs, tally + collect * onehot), None
 
-    tally_shape = (
-        (b, c, cfg.num_chains, s * o) if flat_so
-        else (b, c, cfg.num_chains, s, o)
-    )
-    tally0 = jnp.zeros(tally_shape, jnp.uint16)
-    (_, tally), _ = jax.lax.scan(
-        step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32),
+        tally0 = jnp.zeros((b, c, cfg.num_chains, s * o), jnp.uint16)
+        (_, tally), _ = jax.lax.scan(
+            step, (freqs0, tally0), jnp.arange(num_iters, dtype=jnp.int32),
+            unroll=SCAN_UNROLL,
+        )
+        tally = tally.reshape(b, c, cfg.num_chains, s, o).astype(jnp.int32)
+        return tally, w
+
+    # large outcome spaces: the per-step [.., O] tally one-hot write was
+    # ~20% of the H64-class step; emit the sampled outcome indices instead
+    # (i16, tiny) and build the tally POST-scan with one scatter-add over
+    # the collected iterations. Identical integer tallies.
+    def step_o(freqs, t):
+        new_freqs, o_sel = iteration(freqs, t)
+        return new_freqs, o_sel.astype(jnp.int16)
+
+    _, o_hist = jax.lax.scan(
+        step_o, freqs0, jnp.arange(num_iters, dtype=jnp.int32),
         unroll=SCAN_UNROLL,
-    )
-    return tally.reshape(b, c, cfg.num_chains, s, o).astype(jnp.int32), w
+    )                                         # [T, B, C, ch, S] i16
+    sel = o_hist[cfg.burn_in :].astype(jnp.int32)
+    npts = b * c * cfg.num_chains * s
+    base = jnp.arange(npts, dtype=jnp.int32) * o
+    idx = (sel.reshape(sel.shape[0], npts) + base[None]).reshape(-1)
+    tally = jnp.zeros((npts * o,), jnp.int32).at[idx].add(1)
+    return tally.reshape(b, c, cfg.num_chains, s, o), w
 
 
 def _noise_setup_stacked(base_key, k_master, sbucket, tables, outcomes, cfg,
