@@ -899,10 +899,52 @@ def gather_sample_counts(unit: InferenceUnitData, samples, num_threads: int = 1)
         reader = KmcReader(sample.kmc_prefix)
         n_hit = 0
         # KMC tables are sorted by canonical kmer, which coincides with
-        # ascending (hi, lo) lane order — a two-pointer merge against the
-        # sorted lane table replaces per-query binary search. The cursor
-        # persists across batches; a non-monotonic batch (foreign producer)
-        # falls back to binary search for that batch.
+        # ascending (hi, lo) lane order — the FUSED native ingestion
+        # (bt_kmc_ingest) decodes each raw record batch, advances a
+        # two-pointer merge against the sorted lane table and writes the
+        # matched counts column in one C pass (the separate decode/merge/
+        # scatter steps moved ~21 GB of numpy intermediates per unit). A
+        # non-monotonic stream (foreign producer) falls back to the
+        # decode + binary-search path from the point of disorder.
+        if use_merge and dev_table is None and len(table):
+            info = reader.info
+            lutb = reader.lut_bounds()
+            state = np.zeros(7, np.int64)
+            cursor = 0
+            disorder = False
+            for raw, nrec, rec0 in reader.raw_batches():
+                if not disorder:
+                    cursor = native.kmc_ingest(
+                        raw, nrec, reader._rec_size, reader._sufix_size,
+                        info.counter_size, lutb, rec0, reader._prefix_mask,
+                        info.lut_prefix_length, info.kmer_length,
+                        table.hi, table.lo, cursor, counts, si, state,
+                    )
+                    if not state[2]:
+                        continue
+                    disorder = True
+                    consumed = int(state[3])
+                    raw = raw[consumed * reader._rec_size :]
+                    rec0 += consumed
+                    nrec -= consumed
+                if nrec <= 0:
+                    continue
+                pref = reader._prefix_values(rec0, rec0 + nrec)
+                hi, lo, cnt = native.kmc_decode(
+                    raw, reader._rec_size, reader._sufix_size,
+                    info.counter_size, pref, info.lut_prefix_length,
+                    info.kmer_length,
+                )
+                idx = table.lookup(hi, lo)
+                hit = idx >= 0
+                counts[idx[hit], si] = np.minimum(cnt[hit], 255).astype(
+                    np.uint8
+                )
+                state[1] += int(hit.sum())
+            reader.close()
+            _log(f"Sample {sample.name}: matched {int(state[1])} kmers "
+                 f"({reader.info.total_kmers} in table)")
+            return
         cursor = 0
         prev_hi = prev_lo = None
         for hi, lo, cnt in reader.batches():

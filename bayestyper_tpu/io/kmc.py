@@ -146,6 +146,29 @@ class KmcReader:
         idx = np.arange(i0, i1, dtype=np.int64)
         return (np.repeat(idx, reps) & self._prefix_mask).astype(np.uint64)
 
+    def lut_bounds(self):
+        """Record-start boundary per LUT entry as int64 (bt_kmc_ingest)."""
+        lb = getattr(self, "_lut_i64", None)
+        if lb is None:
+            import numpy as _np
+
+            lb = _np.ascontiguousarray(self._lut.astype(_np.int64))
+            self._lut_i64 = lb
+        return lb
+
+    def raw_batches(self, batch_size: int = 1 << 20):
+        """Yield (raw_records, n, first_record_number) without decoding —
+        the fused native ingestion path (bt_kmc_ingest) consumes these."""
+        info = self.info
+        while self._next_record < info.total_kmers:
+            n = min(batch_size, info.total_kmers - self._next_record)
+            raw = self._suf.read(n * self._rec_size)
+            if len(raw) < n * self._rec_size:
+                raise IOError("truncated .kmc_suf")
+            rec0 = self._next_record
+            self._next_record += n
+            yield raw, n, rec0
+
     def batches(self, batch_size: int = 1 << 20):
         """Yield (hi, lo, counts) canonical lane batches in file order."""
         info = self.info

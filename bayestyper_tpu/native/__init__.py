@@ -89,6 +89,10 @@ def get_lib():
     lib.bt_lane_merge_lookup.restype = i64
     lib.bt_lanes_ascending.argtypes = [u64p, u64p, i64, u64, u64, i32]
     lib.bt_lanes_ascending.restype = i32
+    lib.bt_kmc_ingest.argtypes = [u8p, i64, i32, i32, i32, i64p, i64, i64,
+                                  u64, i32, i32, u64p, u64p, i64, i64, u8p,
+                                  i64, i64, i64p]
+    lib.bt_kmc_ingest.restype = i64
     lib.bt_lane_lookup_rooted.argtypes = [u64p, u64p, i64p, i32,
                                           u64p, u64p, i64, i64p]
     lib.bt_kmc_decode.argtypes = [u8p, i64, i32, i32, i32, u64p, i32, i32,
@@ -327,6 +331,25 @@ def build_lane_roots(table_hi, target_leaf=32):
     roots[-1] = n
     roots[1:-1] = np.searchsorted(table_hi, bounds, side="left")
     return roots, shift
+
+
+def kmc_ingest(raw, n, rec_size, sufix_bytes, counter_bytes, lut_bounds,
+               rec0, prefix_mask, lut_len, k, table_hi, table_lo, t0,
+               counts, col, state):
+    """Fused KMC batch ingestion: decode + sorted-merge against the lane
+    table + write the matched counts column, one C pass (see bt_kmc_ingest).
+    `counts` is the [T, S] uint8 matrix; `state` is the int64[7] cursor
+    block carried across batches. Returns the new table cursor."""
+    lib = get_lib()
+    buf = np.frombuffer(raw, np.uint8)
+    assert counts.flags.c_contiguous
+    return int(lib.bt_kmc_ingest(
+        buf, n, rec_size, sufix_bytes, counter_bytes,
+        np.ascontiguousarray(lut_bounds, np.int64), len(lut_bounds),
+        rec0, prefix_mask, lut_len, k,
+        np.ascontiguousarray(table_hi), np.ascontiguousarray(table_lo),
+        len(table_hi), t0, counts.reshape(-1), counts.shape[1], col, state,
+    ))
 
 
 def lanes_ascending(hi, lo, prev_hi=None, prev_lo=None):

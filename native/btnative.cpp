@@ -568,6 +568,98 @@ int64_t bt_lane_merge_lookup(const uint64_t* thi, const uint64_t* tlo,
     return t;
 }
 
+// --- fused KMC ingestion ---------------------------------------------------
+//
+// Decode a raw .kmc_suf record batch AND merge it against the sorted lane
+// table AND write the matched counts column — one pass, no materialised
+// hi/lo/count arrays (the numpy glue around the separate decode+merge
+// steps moved ~21 GB of intermediates per 13-sample unit). Records are
+// sorted, so the LUT walk and the table merge are monotone cursors.
+// state in/out (int64[7]): [0]=lut index cursor, [1]=hit count,
+// [2]=disorder flag (set + early return if the stream is not ascending —
+// caller falls back for the unconsumed tail), [3]=records consumed,
+// [4]/[5]=previous key lanes, [6]=have-previous flag (carried across
+// batches so a non-monotone batch boundary is also caught).
+// Returns the new table cursor.
+int64_t bt_kmc_ingest(const uint8_t* records, int64_t n, int32_t rec_size,
+                      int32_t sufix_bytes, int32_t counter_bytes,
+                      const int64_t* lut_bounds, int64_t lut_entries,
+                      int64_t rec0, uint64_t prefix_mask, int32_t lut_len,
+                      int32_t k, const uint64_t* thi, const uint64_t* tlo,
+                      int64_t tn, int64_t t0, uint8_t* counts,
+                      int64_t stride, int64_t col, int64_t* state) {
+    const int32_t n_hi = k < 27 ? k : 27;
+    const int32_t hi_suf_bases = n_hi - lut_len;
+    const bool fast = hi_suf_bases >= 0 && hi_suf_bases % 4 == 0 &&
+                      lut_len + 4 * sufix_bytes == k;
+    const int32_t hb = fast ? hi_suf_bases / 4 : 0;
+    const int32_t lb = fast ? sufix_bytes - hb : 0;
+    int64_t li = state[0];
+    int64_t hits = state[1];
+    int64_t t = t0;
+    uint64_t prev_h = (uint64_t)state[4], prev_l = (uint64_t)state[5];
+    bool have_prev = state[6] != 0;
+    for (int64_t r = 0; r < n; ++r) {
+        const int64_t rec_no = rec0 + r;
+        while (li + 1 < lut_entries && lut_bounds[li + 1] <= rec_no) ++li;
+        const uint64_t pref = (uint64_t)li & prefix_mask;
+        const uint8_t* rec = records + r * rec_size;
+        uint64_t h, l;
+        if (fast) {
+            h = pref;
+            for (int32_t j = 0; j < hb; ++j) h = (h << 8) | rec[j];
+            l = 0;
+            for (int32_t j = 0; j < lb; ++j) l = (l << 8) | rec[hb + j];
+        } else {
+            h = 0; l = 0;
+            int32_t base_idx = 0;
+            for (int32_t j = 0; j < lut_len; ++j) {
+                const uint64_t b = (pref >> (2 * (lut_len - 1 - j))) & 3ULL;
+                if (base_idx < n_hi) h = (h << 2) | b; else l = (l << 2) | b;
+                ++base_idx;
+            }
+            for (int32_t sb = 0; sb < sufix_bytes; ++sb) {
+                const uint8_t byte = rec[sb];
+                for (int32_t q = 3; q >= 0; --q) {
+                    if (base_idx >= k) break;
+                    const uint64_t b = (byte >> (2 * q)) & 3ULL;
+                    if (base_idx < n_hi) h = (h << 2) | b;
+                    else l = (l << 2) | b;
+                    ++base_idx;
+                }
+            }
+        }
+        if (have_prev && (h < prev_h || (h == prev_h && l < prev_l))) {
+            state[0] = li;
+            state[1] = hits;
+            state[2] = 1;   // disorder: caller falls back for the rest
+            state[3] = r;
+            state[4] = (int64_t)prev_h;
+            state[5] = (int64_t)prev_l;
+            state[6] = 1;
+            return t;
+        }
+        prev_h = h; prev_l = l; have_prev = true;
+        while (t < tn && (thi[t] < h || (thi[t] == h && tlo[t] < l))) ++t;
+        if (t < tn && thi[t] == h && tlo[t] == l) {
+            uint64_t c = 0;
+            for (int32_t cb = 0; cb < counter_bytes; ++cb) {
+                c |= (uint64_t)rec[sufix_bytes + cb] << (8 * cb);
+            }
+            counts[t * stride + col] = c > 255 ? 255 : (uint8_t)c;
+            ++hits;
+        }
+    }
+    state[0] = li;
+    state[1] = hits;
+    state[2] = 0;
+    state[3] = n;
+    state[4] = (int64_t)prev_h;
+    state[5] = (int64_t)prev_l;
+    state[6] = have_prev ? 1 : 0;
+    return t;
+}
+
 // --- KMC suffix-record decode -------------------------------------------
 //
 // records: n contiguous records of (sufix_bytes + counter_bytes); prefixes:
