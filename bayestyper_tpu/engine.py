@@ -1545,14 +1545,15 @@ def _bucket_cached(cache, fcs, caps, samples, ploidy_model, ucounts, seed,
                    store=True):
     """Build (or fetch) the device ClusterBucket for one cluster chunk.
 
-    The cache is shared between the noise phase and the genotype wave loop:
-    identical (cluster ids, padded caps) chunks produce identical device
-    arrays (streams are cluster-keyed), so each is built and transferred
-    once per unit. The consumer pops entries (store=False) so HBM residency
-    is bounded by the noise batch."""
+    The cache is shared between the background pre-builder, the noise phase
+    and the genotype wave loop: identical (cluster ids, padded caps) chunks
+    produce identical device arrays (streams are cluster-keyed), so each is
+    built and transferred once per unit. Only the FINAL consumer (the wave
+    loop, store=False) pops its entry — non-consuming readers (the noise
+    phase) peek, so a prebuilt bucket survives until the waves use it."""
     key = (tuple(fc.cluster_id for fc in fcs), caps)
     if cache is not None:
-        hit = cache.pop(key, None)
+        hit = cache.get(key) if store else cache.pop(key, None)
         if hit is not None:
             return hit
     bucket = _device_bucket(
