@@ -2821,7 +2821,31 @@ def genotype_unit_joint(unit, samples, genome, ploidy_model, out_path,
     writer = GenotypeVcfWriter(
         out_path, genome, [s.name for s in samples], command_lines
     )
+    from .model.stats import collect_bucket_stats_packed_stacked
+    from .model.stats import unpack_stats_host
+    import dataclasses as _dc
+
+    use_packed = opts.num_chains * opts.num_samples * 2 < 65536
     for bi, chunks in enumerate(class_chunks):
+        if use_packed:
+            # one packed-byte fetch per stacked class (same transfer-compact
+            # path as the frozen-noise waves)
+            packed = collect_bucket_stats_packed_stacked(
+                sbuckets[bi], outcomes_list[bi], tallies[bi], ws[bi],
+                filters, allele_capacity=caps_a[bi],
+                mac_top_t=_mac_top_t(outcomes_list[bi]),
+            )
+            host = unpack_stats_host(
+                _fetch_packed_stats(packed, len(chunks))
+            )
+            for b, chunk in enumerate(chunks):
+                stats_b = type(host)(**{
+                    f.name: getattr(host, f.name)[b]
+                    for f in _dc.fields(host)
+                })
+                _emit_records_host(writer, chunk, stats_b, samples,
+                                   ploidy_model)
+            continue
         for b, chunk in enumerate(chunks):
             stats = collect_bucket_stats(
                 slice_bucket(sbuckets[bi], b), outcomes_list[bi],
